@@ -1,0 +1,64 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the noop sink (no driver collect, no
+column pruning of the measured expressions).  Set SPARK_GRAFT_QUERIES
+to a comma-separated subset to bench specific queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from idn_area_etl_spark.plans import all_specs  # noqa: E402
+from idn_area_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    specs = all_specs()
+    wanted = os.environ.get("SPARK_GRAFT_QUERIES")
+    if wanted:
+        names = [n.strip() for n in wanted.split(",") if n.strip()]
+    else:
+        names = [n for n, s in specs.items() if s.headline]
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    for name in names:
+        builder = specs[name].builder
+        # build once to warm metadata, then measure a fresh plan
+        df = builder(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

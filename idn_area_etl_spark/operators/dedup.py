@@ -1,0 +1,304 @@
+"""Deduplication operators for LLM-data pipelines at scale.
+
+Four strategies, all shuffle-conscious:
+
+- **exact**: content-hash groupBy — one shuffle on the hash, map-side
+  partial agg.
+- **n-gram Jaccard**: blocked self-join (language × length band) —
+  exact similarity inside blocks; block keys bound the pair explosion.
+- **MinHash-LSH**: signature → banded bucket join — the 100 TB path:
+  candidate generation is equi-join on (band, bucket-hash), never an
+  all-pairs product.
+- **SimHash**: 64-bit sign fingerprints; near-dups differ in few bits.
+
+Everything is native column expressions (xxhash64, higher-order
+aggregate/transform) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne-ish prime keeping (P-1)*A + B within int64.
+MINHASH_PRIME = 2_147_483_647
+
+#: Deterministic affine hash parameters (fixed across runs — they are
+#: part of the signature definition, like a model seed).
+_MINHASH_PARAMS = [
+    ((i * 2_654_435_761 + 0x9E3779B9) % MINHASH_PRIME or 1, (i * 40_503 + 12_345) % MINHASH_PRIME)
+    for i in range(1, 65)
+]
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of a string column."""
+    positions = F.sequence(F.lit(1), F.length(text) - F.lit(n - 1))
+    return F.array_distinct(
+        F.transform(positions, lambda i: F.substring(text, i, F.lit(n)))
+    )
+
+
+def token_shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (w-shingling) — far more
+    discriminative than char shingles on shared-vocabulary corpora,
+    and ~10× fewer elements per doc."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1))
+    )
+    return F.array_distinct(
+        F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group documents by content hash.
+
+    Returns one row per distinct content with the representative
+    (minimum) doc_id and copy count.  Scale: single hash-partitioned
+    shuffle; partial aggregation happens map-side.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity over blocked pairs.
+
+    Blocking on (lang, length-band) keeps the self-join from becoming
+    an all-pairs product — the block key is the shuffle key, so each
+    executor sees only intra-block pairs.  Word shingles keep the
+    per-doc arrays ~6× smaller than char shingles (the intersect cost
+    is quadratic-ish in array size).  For unblocked scale-out use
+    minhash_candidates instead.
+    """
+    sh = docs.filter(F.length(text_col) >= n).select(
+        "doc_id",
+        "lang",
+        F.floor(F.length(text_col) / 100).cast("int").alias("len_band"),
+        token_shingles_expr(F.col(text_col), n).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    uni = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / uni, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(top_k)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: min over word-n-gram shingles of affine
+    permutations of xxhash64(shingle) mod P.  num_hashes independent
+    permutations → E[matching fraction] = Jaccard similarity."""
+    p = F.lit(MINHASH_PRIME).cast("long")
+    hashed = F.transform(
+        token_shingles_expr(F.col(text_col), n),
+        lambda s: F.pmod(F.xxhash64(s), p),
+    )
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), p)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_shingle_hashes"), _perm(a, b)))
+            for a, b in _MINHASH_PARAMS[:num_hashes]
+        ]
+    )
+    return (
+        docs.select("doc_id", hashed.alias("_shingle_hashes"))
+        .select("doc_id", sig.alias("signature"))
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold.
+
+    The banded bucket join is the scale path: signatures split into
+    ``bands`` bands of ``num_hashes/bands`` rows; docs colliding in any
+    band become candidates (equi-join on the band hash — a plain
+    shuffle join on a compact key, no cross product), then the full
+    signatures estimate similarity.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, text_col)
+
+    band_entries = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bno: F.struct(
+                bno.alias("band_no"),
+                F.xxhash64(
+                    bno,
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                bno * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ).alias("band_hash"),
+            ),
+        )
+    )
+    buckets = sigs.select("doc_id", band_entries.alias("band")).select(
+        "doc_id", "band.band_no", "band.band_hash"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda same: same,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens as a hex string.
+
+    Each bit is the sign of the sum of ±1 votes from xxhash64(token)
+    bits; near-duplicate texts land within a few bits of Hamming
+    distance.  Native expression: one xxhash per token, then a 64-way
+    bit fold.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    bits = F.expr(
+        """
+        array_join(transform(sequence(63, 0, -1), b ->
+          CASE WHEN aggregate(_thash, 0L, (acc, h) ->
+            acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)
+          ) > 0 THEN '1' ELSE '0' END), '')
+        """
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.transform(tokens, lambda t: F.xxhash64(t)).alias("_thash"),
+        )
+        .select("doc_id", bits.alias("bits"))
+        .select("doc_id", "bits", F.conv("bits", 2, 16).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Scale path: block on 16-bit quarters (a pair within Hamming ≤ 3 of
+    64 bits must agree exactly on ≥ 1 of 4 quarters — pigeonhole), so
+    candidates come from 4 equi-joins, not a cross product.
+    """
+    sigs = simhash_signatures(docs, text_col)
+    # 16-bit quarters of the bit string
+    quarters = sigs.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda qi: F.struct(
+                    qi.alias("q_no"),
+                    F.substring(F.col("bits"), qi * 16 + 1, F.lit(16)).alias("q_val"),
+                ),
+            )
+        ).alias("q"),
+    ).select("doc_id", "bits", "q.q_no", "q.q_val")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("a.bits"), ""),
+                F.split(F.col("b.bits"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.q_no") == F.col("b.q_no"))
+            & (F.col("a.q_val") == F.col("b.q_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

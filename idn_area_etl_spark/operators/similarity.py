@@ -1,0 +1,216 @@
+"""Embedding similarity search operators.
+
+- ``cosine_topk``: brute-force cosine top-k — exact baseline; the
+  query side broadcasts, the corpus streams, so cost is
+  O(|corpus| · |queries|) with no corpus shuffle.
+- ``near_dup_pairs``: blocked pair mining (label block keys).
+- ``lsh_ann_topk``: sign-random-projection LSH with multiple hash
+  tables — the approximate scale path: candidates come from bucket
+  equi-joins, never a cross product.
+
+Vector math is native (zip_with/aggregate over array<double>) —
+JVM-side, no Python serde.  Cosines are rounded to 6 dp (see
+plans/registry.py determinism rules).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (matches the oracle's
+    list_sum evaluation order for bit-exact doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def _with_vec_and_norm(df: DataFrame, id_alias: str, vec_col: str = "embedding") -> DataFrame:
+    vec = as_double_vec(F.col(vec_col))
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        vec.alias(f"_vec_{id_alias}"),
+    ).withColumn(f"_nrm_{id_alias}", norm_expr(F.col(f"_vec_{id_alias}")))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rnk).  The query side is
+    broadcast (it is the small side by construction); ranking windows
+    partition by query so the shuffle is on query_id only.
+    """
+    q = _with_vec_and_norm(queries, "query_id", vec_col)
+    c = _with_vec_and_norm(corpus, "neighbor_id", vec_col)
+    cos = F.round(
+        dot_expr(F.col("_vec_query_id"), F.col("_vec_neighbor_id"))
+        / (F.col("_nrm_query_id") * F.col("_nrm_neighbor_id")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q), F.col("neighbor_id") != F.col("query_id"), "inner"
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    top_k: int = 20,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-similar same-block vector pairs (near-duplicate
+    mining).  The block column is the join/shuffle key."""
+    vec = as_double_vec(F.col(vec_col))
+    v = emb.select(
+        "vec_id", F.col(block_col).alias("_block"), vec.alias("_vec")
+    ).withColumn("_nrm", norm_expr(F.col("_vec")))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        dot_expr(F.col("a._vec"), F.col("b._vec"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(top_k)
+    )
+
+
+def _deterministic_planes(n_tables: int, n_planes: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes from SHA-256 bytes —
+    fixed across runs/machines (part of the index definition)."""
+    planes: list[list[list[float]]] = []
+    for t in range(n_tables):
+        table = []
+        for p in range(n_planes):
+            vals: list[float] = []
+            counter = 0
+            while len(vals) < dim:
+                digest = hashlib.sha256(f"{t}:{p}:{counter}".encode()).digest()
+                for i in range(0, len(digest) - 1, 2):
+                    if len(vals) >= dim:
+                        break
+                    raw = int.from_bytes(digest[i : i + 2], "big")
+                    vals.append(raw / 65535.0 - 0.5)
+                counter += 1
+            table.append(vals)
+        planes.append(table)
+    return planes
+
+
+def lsh_bucket_expr(vec: Column, table_planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id for one hash table: the bit
+    string of sign(vec · plane) over the table's planes."""
+    bits = [
+        F.when(
+            dot_expr(vec, F.array(*[F.lit(x) for x in plane])) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in table_planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH.
+
+    Each vector gets one bucket per hash table; query/corpus pairs
+    colliding in ANY table become candidates (union of equi-joins on
+    (table, bucket) — at 100 TB this is a plain shuffle join on a
+    compact key).  Exact cosine ranks the candidates.
+    """
+    planes = _deterministic_planes(n_tables, n_planes, dim)
+
+    def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
+        vec = as_double_vec(F.col(vec_col))
+        entries = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_no"),
+                        lsh_bucket_expr(vec, planes[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        )
+        return df.select(
+            F.col("vec_id").alias(id_alias), entries.alias("e")
+        ).select(id_alias, "e.table_no", "e.bucket")
+
+    cand_ids = (
+        bucketize(corpus, "neighbor_id")
+        .join(
+            F.broadcast(bucketize(queries, "query_id")),
+            ["table_no", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = _with_vec_and_norm(queries, "query_id", vec_col)
+    cv = _with_vec_and_norm(corpus, "neighbor_id", vec_col)
+    cand = cand_ids.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    cos = F.round(
+        dot_expr(F.col("_vec_query_id"), F.col("_vec_neighbor_id"))
+        / (F.col("_nrm_query_id") * F.col("_nrm_neighbor_id")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -1,0 +1,328 @@
+"""LLM-training-data pipeline queries over documents/embeddings.
+
+Text analysis (token counting, quality scoring, language ID,
+fingerprinting), deduplication (exact, n-gram Jaccard, MinHash-LSH,
+SimHash), and embedding similarity (brute-force cosine top-k,
+near-dup pair mining, sign-LSH ANN).  Implementations come from
+idn_area_etl_spark.operators.{text,dedup,similarity}; the oracle SQL
+replicates SQL-expressible ones exactly (rules in plans/registry.py).
+MinHash / SimHash / LSH-ANN are not SQL-expressible — those entries
+have no oracle (driver rows-only check) and are certified against
+planted near-duplicates in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idn_area_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from idn_area_etl_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    near_dup_pairs,
+)
+from idn_area_etl_spark.operators.text import (
+    fingerprint_expr,
+    lang_scores,
+    quality_score_expr,
+    token_stats,
+)
+from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+D_TOKEN_STATS_SQL = """
+SELECT doc_id,
+  length(text) AS n_chars_measured,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT)
+    AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+D_QUALITY_SQL = """
+SELECT doc_id,
+  ROUND(
+    0.4 * (CAST(len(regexp_extract_all(lower(text),
+             '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\\s+')))
+    + 0.3 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / length(text)),
+  6) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def d_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+D_LANG_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|is|in)\\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des)\\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\\b(el|los|las|y|del)\\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|nicht)\\b')) AS s_de,
+    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+  CAST(s_en AS INT) AS s_en, CAST(s_fr AS INT) AS s_fr,
+  CAST(s_es AS INT) AS s_es, CAST(s_de AS INT) AS s_de,
+  CAST(s_zh AS INT) AS s_zh,
+  CASE
+    WHEN s_zh > 0 THEN 'zh'
+    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+    WHEN s_es >= s_de THEN 'es'
+    ELSE 'de'
+  END AS lang_guess
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+D_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+def d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs(spark, sf_dir)).orderBy("rep_doc_id")
+
+
+D_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+  MIN(doc_id) AS rep_doc_id,
+  COUNT(*) AS n_copies,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY md5(text)
+ORDER BY rep_doc_id
+"""
+
+
+def d_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, top_k=20)
+
+
+D_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, CAST(length(text) // 100 AS INT) AS len_band,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '') AS t
+  FROM documents
+  WHERE length(text) >= 3
+),
+sh AS (
+  SELECT doc_id, lang, len_band,
+    list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                   for i in generate_series(1, greatest(1, len(t) - 2))])
+      AS shingles
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.shingles, b.shingles)) AS inter,
+    len(a.shingles) + len(b.shingles)
+      - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM pairs
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+def d_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Not SQL-expressible (xxhash64-based signatures) → rows-only check.
+    return minhash_candidates(_docs(spark, sf_dir), threshold=0.5)
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Not SQL-expressible → rows-only check.
+    return simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity
+# --------------------------------------------------------------------------
+
+
+def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(queries, emb, k=3)
+
+
+E_COSINE_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings
+),
+norms AS (
+  SELECT vec_id, vec,
+    sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+  FROM v
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(generate_series(1, len(q.vec)),
+                   i -> q.vec[i] * c.vec[i])) / (q.nrm * c.nrm), 6) AS cosine
+  FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def e_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(_emb(spark, sf_dir), top_k=20)
+
+
+E_NEAR_DUP_SQL = """
+WITH v AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS vec
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, vec,
+    sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_sum(list_transform(generate_series(1, len(a.vec)),
+                 i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 6) AS cosine
+FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sign-LSH bucketing is not SQL-expressible → rows-only; recall vs
+    # brute force is asserted in pytest.
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_ann_topk(queries, emb, k=3, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary column plumbing (decode itself is a stub —
+# operators/multimodal.py — since no image/audio libs ship in the
+# container; the schema/partitioning/UDF plumbing is real).
+# --------------------------------------------------------------------------
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from idn_area_etl_spark.operators.multimodal import binary_metadata
+
+    docs = _docs(spark, sf_dir)
+    blobs = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_metadata(blobs).orderBy("doc_id")
+
+
+MM_BINARY_META_SQL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS content_md5,
+  upper(hex(encode(substr(text, 1, 8)))) AS magic_hex
+FROM documents
+ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("d_token_stats", d_token_stats, D_TOKEN_STATS_SQL,
+              doc="token counting: whitespace + BPE-ish regex",
+              tags=("text",)),
+    QuerySpec("d_quality_score", d_quality_score, D_QUALITY_SQL,
+              doc="doc quality scoring", tags=("text",)),
+    QuerySpec("d_lang_guess", d_lang_guess, D_LANG_SQL,
+              doc="stopword-ngram language ID", tags=("text",)),
+    QuerySpec("d_fingerprint", d_fingerprint, D_FINGERPRINT_SQL,
+              doc="normalized-content fingerprint", tags=("text",)),
+    QuerySpec("d_dedup_exact", d_dedup_exact, D_DEDUP_EXACT_SQL,
+              headline=True, doc="exact dedup via content hash groups",
+              tags=("dedup",)),
+    QuerySpec("d_ngram_jaccard_topk", d_ngram_jaccard_topk,
+              D_NGRAM_JACCARD_SQL, headline=True,
+              doc="3-gram shingle Jaccard top-20 pairs", tags=("dedup",)),
+    QuerySpec("d_minhash_candidates", d_minhash_candidates, None,
+              doc="MinHash-LSH near-dup candidates (rows-only)",
+              tags=("dedup",)),
+    QuerySpec("d_simhash", d_simhash, None,
+              doc="64-bit SimHash signatures (rows-only)", tags=("dedup",)),
+    QuerySpec("e_cosine_topk", e_cosine_topk, E_COSINE_TOPK_SQL,
+              headline=True, doc="brute-force cosine top-3 neighbors",
+              tags=("similarity",)),
+    QuerySpec("e_near_dup_pairs", e_near_dup_pairs, E_NEAR_DUP_SQL,
+              doc="label-blocked top-20 cosine pairs", tags=("similarity",)),
+    QuerySpec("e_ann_lsh", e_ann_lsh, None,
+              doc="sign-LSH bucketed ANN top-3 (rows-only)",
+              tags=("similarity",)),
+    QuerySpec("mm_binary_meta", mm_binary_meta, MM_BINARY_META_SQL,
+              doc="binary payload metadata extraction", tags=("multimodal",)),
+]

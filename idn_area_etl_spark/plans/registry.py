@@ -1,0 +1,52 @@
+"""Query registry: every engine capability exposed as a named query.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with the
+equivalent ANSI SQL for the DuckDB oracle (None for genuinely
+non-SQL-expressible operators — the driver then records a weaker
+rows-only check).
+
+Determinism rules used throughout (so Spark and DuckDB hash-match
+bit-for-bit):
+
+- Sums over doubles go through ``CAST(... AS DECIMAL(20,4))`` on both
+  sides: per-row double arithmetic is identical IEEE in both engines,
+  and decimal summation is exact, so the final ``CAST(sum AS DOUBLE)``
+  is identical regardless of aggregation order/partitioning.
+- Averages are computed as exact decimal sum / count in double.
+- Ratios/scores computed per-row stay in double (single IEEE
+  expression, deterministic); multi-term float reductions get
+  ``round(x, 6)`` on both sides.
+- Every ordering used with LIMIT or row_number carries a unique
+  tiebreaker column.
+- Integer sums are cast to BIGINT in SQL (DuckDB sum(int) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Collect specs from all plan modules (import-time registration)."""
+    from idn_area_etl_spark.plans import docs, events, refops, tpch
+
+    specs: dict[str, QuerySpec] = {}
+    for module in (tpch, events, refops, docs):
+        for spec in module.SPECS:
+            if spec.name in specs:
+                raise ValueError(f"duplicate query name {spec.name}")
+            specs[spec.name] = spec
+    return specs

@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle SQL at the
+given scale factor, then compares row count, column names, and values
+(order-insensitive, column-name-sorted) — the same contract the
+driver's CORRECTNESS_r{N}.json check applies.
+
+Usage:
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from idn_area_etl_spark.plans import all_specs  # noqa: E402
+from idn_area_etl_spark.session import get_spark  # noqa: E402
+from idn_area_etl_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canonical(rows: list[tuple], cols: list[str]) -> tuple[list[str], list[tuple[str, ...]]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(norm_cell(r[i]) for i in order) for r in rows
+    )
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    selected = [a for a in args if "/" not in a]
+
+    specs = all_specs()
+    if selected:
+        specs = {k: v for k, v in specs.items() if k in selected}
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(app_name="check_oracle")
+
+    n_ok = n_bad = n_rows_only = 0
+    for name, spec in specs.items():
+        try:
+            sdf = spec.builder(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_bad += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            n_rows_only += 1
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            orows = rel.fetchall()
+            ocols = rel.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_bad += 1
+            continue
+
+        s_cols, s_can = canonical(srows, scols)
+        o_cols, o_can = canonical(orows, ocols)
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: row count {len(srows)} vs {len(orows)}")
+            n_bad += 1
+        elif s_cols != o_cols:
+            print(f"FAIL  {name}: columns {s_cols} vs {o_cols}")
+            n_bad += 1
+        elif s_can != o_can:
+            diffs = [
+                (a, b) for a, b in zip(s_can, o_can) if a != b
+            ][:3]
+            print(f"FAIL  {name}: value mismatch; first diffs: {diffs}")
+            n_bad += 1
+        else:
+            print(f"ok    {name}: {len(srows)} rows")
+            n_ok += 1
+
+    print(f"\n{n_ok} ok, {n_rows_only} rows-only, {n_bad} failed")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
