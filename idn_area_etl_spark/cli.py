@@ -1,0 +1,147 @@
+"""CLI mirroring the reference's ``idnareaetl`` surface (cli.py:77-205).
+
+    python -m idn_area_etl_spark.cli PDF_PATH [options]
+
+Flags match the reference: destination, output name, page range,
+chunk size, config path.  ``--parallel`` is accepted for
+compatibility but meaningless (executor parallelism is the default in
+Spark).  Validation rules and the zero-rows exit-1 contract follow
+cli.py:56-74, 198-201.
+
+Because this container ships no camelot/pypdf, ``--fixture-json``
+accepts a JSON file of ``[[page_no, table_no, grid], ...]`` and runs
+the identical dataflow from fabricated tables — the same substitution
+the reference's own CLI tests perform (test_cli.py:92-106).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+from idn_area_etl_spark.config import ConfigError, load_config
+from idn_area_etl_spark.operators.registry import extract_all
+from idn_area_etl_spark.session import get_spark
+from idn_area_etl_spark.sources.pdf import (
+    parse_page_range,
+    pdf_to_raw_tables,
+    probe_page_count,
+    validate_page_range,
+)
+from idn_area_etl_spark.sources.raw import raw_from_cell_grids
+from idn_area_etl_spark.writer import write_all_entities
+
+OUTPUT_NAME_PATTERN = re.compile(r"^[\w-]+$")
+
+
+def format_duration(duration: float) -> str:
+    """Reference ``format_duration`` (utils.py:103-110)."""
+    hours, rem = divmod(duration, 3600)
+    minutes, seconds = divmod(rem, 60)
+    if hours:
+        return f"{int(hours)}h {int(minutes)}m {int(seconds)}s"
+    if minutes:
+        return f"{int(minutes)}m {int(seconds)}s"
+    return f"{seconds:.2f}s"
+
+
+def validate_args(args: argparse.Namespace) -> str | None:
+    """Reference validation rules (cli.py:56-74); returns an error
+    message or None."""
+    if args.fixture_json is None and not str(args.pdf_path).endswith(".pdf"):
+        return "input must be a .pdf file"
+    if args.pages is not None and not validate_page_range(args.pages):
+        return f"invalid page range: {args.pages!r}"
+    if args.output is not None and not OUTPUT_NAME_PATTERN.match(args.output):
+        return f"invalid output name: {args.output!r}"
+    dest = Path(args.destination)
+    if dest.exists() and not dest.is_dir():
+        return f"destination is not a directory: {dest}"
+    return None
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="idnareaetl-spark",
+        description="Extract Indonesian area/island entities from PDF tables "
+        "into CSVs, on Spark.",
+    )
+    p.add_argument("pdf_path", type=Path)
+    p.add_argument("-d", "--destination", type=Path, default=Path("."))
+    p.add_argument("-o", "--output", default=None, help="output name (default: PDF stem)")
+    p.add_argument("-p", "--pages", default=None, help="page range like '1-4,6'")
+    p.add_argument("-c", "--chunk-size", type=int, default=3)
+    p.add_argument("--parallel", action="store_true",
+                   help="accepted for compatibility; Spark is always parallel")
+    p.add_argument("--config", type=Path, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="scale-mode multi-part CSV output instead of "
+                   "golden-exact single files")
+    p.add_argument("--fixture-json", type=Path, default=None,
+                   help="JSON [[page_no, table_no, grid], ...] to run without "
+                   "a PDF parser")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    error = validate_args(args)
+    if error:
+        print(f"error: {error}", file=sys.stderr)
+        return 1
+
+    try:
+        config = load_config(args.config)
+    except ConfigError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+    args.destination.mkdir(parents=True, exist_ok=True)
+    output_name = args.output or args.pdf_path.stem
+
+    started = time.perf_counter()
+    spark = get_spark(app_name="idnareaetl-spark")
+    try:
+        if args.fixture_json is not None:
+            grids = json.loads(args.fixture_json.read_text())
+            raw = raw_from_cell_grids(
+                spark, [(int(p), int(t), g) for p, t, g in grids]
+            )
+        else:
+            pages = None
+            if args.pages is not None:
+                pages = parse_page_range(args.pages, probe_page_count(str(args.pdf_path)))
+            raw = pdf_to_raw_tables(
+                spark, str(args.pdf_path), pages, args.chunk_size
+            )
+
+        raw = raw.persist()
+        try:
+            entities = extract_all(raw)
+            counts = write_all_entities(
+                entities, args.destination, output_name, config,
+                exact=not args.distributed,
+            )
+        finally:
+            raw.unpersist()
+    except RuntimeError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+    total = sum(c for c in counts.values() if c > 0)
+    if total == 0 and not args.distributed:
+        print("error: no rows extracted", file=sys.stderr)
+        return 1
+    print(
+        f"extracted {total} rows to {args.destination} "
+        f"in {format_duration(time.perf_counter() - started)}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
