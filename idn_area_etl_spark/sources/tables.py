@@ -23,6 +23,27 @@ TABLE_NAMES = [
 ]
 
 
+#: Tables whose downstream operators are per-row expensive (shingling,
+#: minhash, vector math): when their scan yields fewer partitions than
+#: cores (single-row-group test files), spread once so the expensive
+#: expressions parallelize.  Fact-table scan/join/agg queries are NOT
+#: spread — measurements show the 1-task shuffle write costs more than
+#: the parallelism gains, and Catalyst's broadcast-join pipelines keep
+#: them in a single stage.  At real scale scans produce >= cores
+#: splits and the guard no-ops.  Decisions are memoized per file.
+_SPREAD_TABLES = {"documents", "embeddings"}
+_spread_decisions: dict[tuple[str, str], bool] = {}
+
+
+def _spread(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFrame:
+    cores = spark.sparkContext.defaultParallelism
+    needs = _spread_decisions.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < cores
+        _spread_decisions[key] = needs
+    return df.repartition(cores) if needs else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
@@ -35,7 +56,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPREAD_TABLES:
+        return _spread(spark, df, (sf_dir, name))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
