@@ -1,0 +1,100 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+Both are built as shuffle-friendly compositions of existing operators
+(no cross products, no Python):
+
+- **as-of join**: union the two sides, sort within key by time, carry
+  the latest right-side payload forward with a last-value window.
+  One shuffle on the key; state is one row per partition stream.
+  (The ``pd.merge_asof``-per-group route would serialize to Python —
+  unnecessary here.)
+- **range join**: bucketize the time axis to the window width and
+  equi-join on (key, bucket) ∪ (key, bucket+1), then filter exactly.
+  Each pair is examined at most twice; the bucket key bounds the join
+  fan-out, which is what survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within ``key`` (NULL payload if none).
+
+    Right rows must be unique per (key, right_ts) for deterministic
+    results — pre-aggregate if needed.
+    """
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            l_tag.schema["_left"].dataType
+        ).alias("_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    # right rows sort before left rows at equal timestamps (<= match)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_k", "_ts", "_is_left", "_left",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_c_{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+    return out
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs within ``key`` where
+    0 <= right_ts - left_ts <= max_gap_seconds.
+
+    Scale path: equi-join on (key, time-bucket) with the left side
+    exploded to two adjacent buckets, then an exact filter — never an
+    inequality-only (cross-product) join.
+    """
+    bucket_l = F.floor(F.unix_timestamp(F.col(left_ts)) / max_gap_seconds)
+    bucket_r = F.floor(F.unix_timestamp(F.col(right_ts)) / max_gap_seconds)
+    l = left.withColumn(
+        "_bucket", F.explode(F.array(bucket_l, bucket_l + 1))
+    ).withColumnRenamed(key, "_k")
+    r = right.withColumn("_bucket", bucket_r).withColumnRenamed(key, "_k")
+    joined = l.join(r, ["_k", "_bucket"])
+    gap = F.unix_timestamp(F.col(right_ts)) - F.unix_timestamp(F.col(left_ts))
+    return (
+        joined.filter((gap >= 0) & (gap <= max_gap_seconds))
+        .withColumnRenamed("_k", key)
+        .drop("_bucket")
+    )
