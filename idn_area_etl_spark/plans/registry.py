@@ -41,10 +41,17 @@ class QuerySpec:
 
 def all_specs() -> dict[str, QuerySpec]:
     """Collect specs from all plan modules (import-time registration)."""
-    from idn_area_etl_spark.plans import advanced, docs, events, refops, tpch
+    from idn_area_etl_spark.plans import (
+        advanced,
+        docs,
+        events,
+        refops,
+        tpch,
+        tpch2,
+    )
 
     specs: dict[str, QuerySpec] = {}
-    for module in (tpch, events, refops, docs, advanced):
+    for module in (tpch, tpch2, events, refops, docs, advanced):
         for spec in module.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")
