@@ -259,6 +259,18 @@ LIMIT 20
 """
 
 
+def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative k-means + inverted-list probe — not SQL-expressible
+    # (driver-loop Lloyd iterations) → rows-only; recall vs brute
+    # force asserted in pytest.
+    from idn_area_etl_spark.operators.ivf import ivf_ann_topk, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    centroids = kmeans_fit(emb, k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_ann_topk(queries, emb, centroids, k=3, n_probe=2)
+
+
 def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sign-LSH bucketing is not SQL-expressible → rows-only; recall vs
     # brute force is asserted in pytest.
@@ -322,6 +334,9 @@ SPECS = [
               doc="label-blocked top-20 cosine pairs", tags=("similarity",)),
     QuerySpec("e_ann_lsh", e_ann_lsh, None,
               doc="sign-LSH bucketed ANN top-3 (rows-only)",
+              tags=("similarity",)),
+    QuerySpec("e_ann_ivf", e_ann_ivf, None,
+              doc="IVF ANN: k-means lists + n_probe search (rows-only)",
               tags=("similarity",)),
     QuerySpec("mm_binary_meta", mm_binary_meta, MM_BINARY_META_SQL,
               doc="binary payload metadata extraction", tags=("multimodal",)),
