@@ -56,7 +56,7 @@ def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D_TOKEN_STATS_SQL = """
 SELECT doc_id,
-  length(text) AS n_chars_measured,
+  CAST(length(text) AS INT) AS n_chars_measured,
   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
   CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT)
     AS n_distinct_tokens,

@@ -259,7 +259,8 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_TOP_CUST_SQL = """
-SELECT n_name, rank_in_nation, c_custkey, c_name, c_acctbal
+SELECT n_name, CAST(rank_in_nation AS INT) AS rank_in_nation,
+       c_custkey, c_name, c_acctbal
 FROM (
   SELECT n_name, c_custkey, c_name, c_acctbal,
     ROW_NUMBER() OVER (PARTITION BY n_name

@@ -45,6 +45,11 @@ def _spread(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFra
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may call query builders from its own SparkSession;
+    # timestamp results only match the (UTC-naive) DuckDB oracle under
+    # a UTC session timezone, so pin it here rather than relying on the
+    # session factory having been ours.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects; read nanos as long and truncate to
