@@ -48,10 +48,12 @@ def all_specs() -> dict[str, QuerySpec]:
         refops,
         tpch,
         tpch2,
+        tpch3,
+        wave4,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for module in (tpch, tpch2, events, refops, docs, advanced):
+    for module in (tpch, tpch2, tpch3, wave4, events, refops, docs, advanced):
         for spec in module.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")
