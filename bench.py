@@ -46,10 +46,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         builder = specs[name].builder
-        # two executions; report steady state (codegen JIT makes the
-        # first run of higher-order expressions 2-4x slower)
+        # three executions; report steady state (C2 JIT of generated
+        # whole-stage code makes the first run of higher-order
+        # expressions 2-10x slower, and the second can still be
+        # mid-compile)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = builder(spark, sf_dir)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
