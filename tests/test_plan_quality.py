@@ -1,0 +1,143 @@
+"""Physical-plan quality gates — the 100 TB design checks.
+
+Correctness tests prove the queries return the right rows; these
+tests pin the *plan shapes* that make them survive a 1000-executor
+cluster: dimension joins broadcast, filters and column pruning reach
+the parquet scan, and nothing in the registered surface degenerates
+into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from idn_area_etl_spark.plans import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_specs()
+
+
+# --------------------------------------------------------------------------
+# No registered query may plan a cartesian product.  (Broadcast
+# nested-loop against a deliberately-broadcast tiny side is allowed —
+# that's the intended strategy for e_cosine_topk's non-equi join.)
+# --------------------------------------------------------------------------
+
+
+def test_no_cartesian_product_anywhere(spark, specs):
+    offenders = []
+    for name, spec in specs.items():
+        plan = plan_of(spec.builder(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+# --------------------------------------------------------------------------
+# Dimension joins must broadcast (no full shuffle of the fact table
+# against a dim that fits in memory).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_regional_revenue",
+        "q10_returned_items",
+        "q7_volume_shipping",
+        "q9_product_profit",
+    ],
+)
+def test_dim_joins_broadcast(spark, specs, name):
+    plan = plan_of(specs[name].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# Predicate pushdown: the lineitem date filter must reach the parquet
+# scan, not run post-scan only.
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name, pushed",
+    [
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("q3_shipping_priority", "GreaterThan(l_shipdate"),
+        ("q10_returned_items", "EqualTo(l_returnflag,R)"),
+    ],
+)
+def test_filters_pushed_to_scan(spark, specs, name, pushed):
+    plan = plan_of(specs[name].builder(spark, SF_DIR))
+    assert pushed in plan, f"expected pushed filter {pushed!r} in {name} scan"
+
+
+# --------------------------------------------------------------------------
+# Column pruning: q1 touches 7 of lineitem's 16 columns; the scan's
+# ReadSchema must not include the untouched wide ones.
+# --------------------------------------------------------------------------
+
+
+def test_q1_scan_prunes_columns(spark, specs):
+    # the scan's metadata string is truncated at 100 chars by default,
+    # which would hide (or fake) pruning — raise the cap for the check
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = plan_of(specs["q1_pricing_summary"].builder(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, "no parquet scan found in q1 plan"
+    for schema in read_schemas:
+        assert "l_comment" not in schema
+        assert "l_shipinstruct" not in schema
+        assert "l_quantity" in schema
+
+
+# --------------------------------------------------------------------------
+# Aggregations must partial-aggregate map-side before the shuffle
+# (shuffle carries O(groups), not O(rows)).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "d_dedup_exact"])
+def test_agg_is_partial_then_final(spark, specs, name):
+    plan = plan_of(specs[name].builder(spark, SF_DIR))
+    assert "partial_" in plan, f"{name} shuffles raw rows (no map-side agg)"
+
+
+# --------------------------------------------------------------------------
+# Blocked similarity self-joins must be equi-joins on the block key —
+# never a nested-loop over all pairs.
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["d_ngram_jaccard_topk", "d_minhash_candidates"])
+def test_blocked_self_joins_are_equi_joins(spark, specs, name):
+    plan = plan_of(specs[name].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+# --------------------------------------------------------------------------
+# e_cosine_topk: the query side must be the broadcast build side; the
+# corpus must stream (scales to any corpus size).
+# --------------------------------------------------------------------------
+
+
+def test_cosine_topk_broadcasts_query_side(spark, specs):
+    plan = plan_of(specs["e_cosine_topk"].builder(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
