@@ -86,6 +86,34 @@ def ngram_jaccard_pairs(
     is quadratic-ish in array size).  For unblocked scale-out use
     minhash_candidates instead.
     """
+    return (
+        _blocked_jaccard(docs, n, text_col)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(top_k)
+    )
+
+
+def jaccard_edges(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate edge list: blocked pairs with Jaccard ≥
+    threshold, as ``(doc_a, doc_b)`` — input to
+    :func:`idn_area_etl_spark.operators.graph.connected_components`
+    for cluster-then-keep-one fuzzy dedup."""
+    return (
+        _blocked_jaccard(docs, n, text_col)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _blocked_jaccard(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """Blocked self-join with exact word-n-gram Jaccard in
+    ``jaccard_raw`` (unrounded double)."""
     # Shingles are xxhash64'd to longs before the self-join: the
     # array_intersect then compares 8-byte values instead of ~20-char
     # strings (~35% cheaper per pair, measured), and Jaccard over the
@@ -102,20 +130,15 @@ def ngram_jaccard_pairs(
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     uni = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_band") == F.col("b.len_band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / uni, 6).alias("jaccard"),
-        )
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(top_k)
+    return a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (inter.cast("double") / uni).alias("jaccard_raw"),
     )
 
 

@@ -51,10 +51,11 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch3,
         wave4,
         wave5,
+        wave6,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for module in (tpch, tpch2, tpch3, wave4, wave5, events, refops, docs, advanced):
+    for module in (tpch, tpch2, tpch3, wave4, wave5, wave6, events, refops, docs, advanced):
         for spec in module.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")
