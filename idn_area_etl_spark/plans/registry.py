@@ -52,10 +52,14 @@ def all_specs() -> dict[str, QuerySpec]:
         wave4,
         wave5,
         wave6,
+        wave7,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for module in (tpch, tpch2, tpch3, wave4, wave5, wave6, events, refops, docs, advanced):
+    for module in (
+        tpch, tpch2, tpch3, wave4, wave5, wave6, wave7,
+        events, refops, docs, advanced,
+    ):
         for spec in module.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")
