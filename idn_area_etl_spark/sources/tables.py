@@ -51,15 +51,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session factory having been ours.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects; read nanos as long and truncate to
-        # micros (identical to DuckDB's nanos→micros truncation).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet stores ts as TIMESTAMP(NANOS).  Spark <=4.0
+        # rejects that type unless nanosAsLong is set (then: read the
+        # raw longs, truncate to micros — identical to DuckDB); Spark
+        # >=4.1 reads it natively as TIMESTAMP_NTZ (ignoring the
+        # legacy flag), where the naive value under the pinned UTC
+        # session equals DuckDB's naive timestamp — cast to the
+        # session-zoned TIMESTAMP the query surface expects.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 - conf removed in newer Spark
+            pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _SPREAD_TABLES:
