@@ -71,6 +71,52 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    mod: int = 10,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination screen: rank corpus documents by the
+    fraction of their word ``n``-gram shingles that also occur in a
+    held-out benchmark set (here: ``doc_id % mod == 0``).
+
+    Scale: the benchmark shingle vocabulary is deduped and broadcast
+    (benchmarks are small by construction), so the corpus side is one
+    explode + broadcast-hash semi-match + per-doc re-aggregation — no
+    all-pairs comparison and no shuffle of the corpus text itself.
+    """
+    sh = docs.select(
+        "doc_id", token_shingles_expr(F.col(text_col), n).alias("shingles")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % mod == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    cand = sh.filter(F.col("doc_id") % mod != 0).select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+        .orderBy(F.col("contamination").desc(), "doc_id")
+        .limit(top_k)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

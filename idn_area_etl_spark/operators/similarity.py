@@ -214,3 +214,63 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid vectors via posexplode → exact decimal sums.
+
+    Scale: one shuffle keyed on (label, dim) with map-side partial
+    aggregation — the classic distributed centroid step of k-means /
+    cluster profiling.  Element sums go through decimal so the result
+    is bit-deterministic under any partitioning; the per-dim mean is a
+    single IEEE division.  Reassembly sorts (dim, value) structs, so
+    collect_list's arrival order never matters.
+    """
+    e = emb.select(
+        "label", F.posexplode(as_double_vec(F.col(vec_col))).alias("pos", "val")
+    )
+    sums = e.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("decimal(32,14)")).cast("double").alias("s"),
+        F.count("*").alias("n"),
+    )
+    dims = sums.select(
+        "label", "pos", (F.col("s") / F.col("n").cast("double")).alias("c")
+    )
+    return dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("centroid")
+    )
+
+
+def centroid_cohesion(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label cluster cohesion: mean cosine of members to their
+    label centroid.
+
+    The centroid side is tiny (one row per label) → broadcast join;
+    per-member cosine is row-local array math; the mean goes through
+    an exact decimal sum of 9-dp-rounded cosines (order-independent).
+    """
+    cents = label_centroids(emb, vec_col)
+    m = emb.join(F.broadcast(cents), "label")
+    vec = as_double_vec(F.col(vec_col))
+    # cosine is undefined at zero norm (e.g. a centroid of antipodal
+    # members) — exclude those rows instead of dividing by zero
+    denom = norm_expr(vec) * norm_expr(F.col("centroid"))
+    cos = dot_expr(vec, F.col("centroid")) / F.col("denom")
+    per = (
+        m.withColumn("denom", denom)
+        .filter(F.col("denom") > 0)
+        .select("label", F.round(cos, 9).cast("decimal(20,10)").alias("c9"))
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum("c9").cast("double") / F.count("*").cast("double"), 6
+            ).alias("cohesion"),
+        )
+        .orderBy("label")
+    )

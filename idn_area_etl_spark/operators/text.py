@@ -8,7 +8,7 @@ rolling hash).  Linear per-row work → trivially scalable; no shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenization: word runs or single non-word-non-space chars.
@@ -100,6 +100,109 @@ def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         scores["de"].alias("s_de"),
         s_zh.alias("s_zh"),
         guess.alias("lang_guess"),
+    )
+
+
+#: PII patterns — written in the RE2/Java-regex common subset so the
+#: same pattern string runs on both engines (no lookaround, no
+#: backrefs).  Scrub order matters: emails first (their digit runs
+#: must not be half-eaten by the id pattern), then phones, then bare
+#: long digit runs.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+PII_LONG_ID_PATTERN = r"\b\d{9,}\b"
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    """Redact emails, phone-shaped numbers, and long digit runs.
+
+    Pure ``regexp_replace`` chain — JVM codegen, linear per-row work,
+    no shuffle; the standard pre-training scrub pass at corpus scale.
+    """
+    out = F.regexp_replace(text, PII_EMAIL_PATTERN, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE_PATTERN, "[PHONE]")
+    return F.regexp_replace(out, PII_LONG_ID_PATTERN, "[ID]")
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts + post-scrub length."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(PII_EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_PHONE_PATTERN)).alias("n_phones"),
+        F.regexp_count(text, F.lit(PII_LONG_ID_PATTERN)).alias("n_long_ids"),
+        F.length(pii_scrub_expr(text)).alias("scrubbed_len"),
+    )
+
+
+def tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties dropped (the shared
+    tokenizer for repetition / bigram / shingle operators)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate/repetition metrics per document.
+
+    ``dup_ratio`` = 1 − distinct/total tokens; ``top_share`` = share of
+    the single most frequent token (ties → lexicographically smallest).
+    Filtering high-repetition docs is a standard pre-training quality
+    gate (boilerplate, keyword stuffing, decode loops).
+
+    Scale: explode → two map-side-combinable aggregations keyed by
+    ``doc_id`` — embarrassingly parallel, skew-bounded by the longest
+    single document.
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col(text_col))).alias("token")
+    )
+    counts = exploded.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "token")
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    n_tokens = F.sum("cnt")
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            n_tokens.alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.min(F.when(F.col("rn") == 1, F.col("token"))).alias("top_token"),
+            F.round(
+                F.max("cnt").cast("double") / n_tokens, 6
+            ).alias("top_share"),
+            F.round(
+                F.lit(1.0) - F.count("*").cast("double") / n_tokens, 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def corpus_bigram_topk(
+    docs: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus token bigrams — the n-gram-LM count kernel.
+
+    Bigram generation is row-local (zip of the token array with its
+    own tail — no index arithmetic that could hit Spark's descending
+    ``sequence`` on 1-token docs); the only distributed work is one
+    count aggregation with map-side partial top-k semantics via
+    ``orderBy().limit()``.
+    """
+    toks = tokens_expr(F.col(text_col))
+    n = F.greatest(F.lit(0), F.size(toks) - F.lit(1))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(top_k)
     )
 
 

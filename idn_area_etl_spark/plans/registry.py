@@ -53,11 +53,12 @@ def all_specs() -> dict[str, QuerySpec]:
         wave5,
         wave6,
         wave7,
+        wave8,
     )
 
     specs: dict[str, QuerySpec] = {}
     for module in (
-        tpch, tpch2, tpch3, wave4, wave5, wave6, wave7,
+        tpch, tpch2, tpch3, wave4, wave5, wave6, wave7, wave8,
         events, refops, docs, advanced,
     ):
         for spec in module.SPECS:
