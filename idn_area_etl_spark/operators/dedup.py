@@ -117,6 +117,61 @@ def contamination_overlap(
     )
 
 
+def winnow_substring_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    max_df: int = 20,
+    min_shared: int = 3,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level near-dup pairs via winnowed fingerprints
+    (copied passages, not whole-document similarity).
+
+    Every shared substring of length ≥ k+w−1 chars is guaranteed to
+    produce a shared fingerprint; pairs sharing ≥ ``min_shared``
+    fingerprints are ranked.  Fingerprints occurring in more than
+    ``max_df`` documents are dropped first — the standard ubiquitous-
+    n-gram stop list (boilerplate would otherwise make the pair join
+    quadratic in the corpus, the same reason suffix-array dedup
+    pipelines drop high-frequency grams).
+
+    Scale: fingerprinting is row-local; the stop-list filter bounds
+    every fingerprint's pair fan-out at max_df², so the self-join is
+    an equi-join with bounded group sizes — no cross product.
+    """
+    from idn_area_etl_spark.operators.text import winnow_fingerprints_expr
+
+    fps = docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints_expr(F.col(text_col), k, w)).alias("fp"),
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    filtered = fps.join(rare, "fp")
+    a, b = filtered.alias("a"), filtered.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+        .limit(top_k)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -97,3 +97,71 @@ def connected_components(
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Damped PageRank over a directed edge list, fixed ``iters``
+    rounds from a uniform start — the canonical iterative-algorithm
+    shape on DataFrames (importance scoring of corpus/link graphs).
+
+    Determinism: each round's neighbor-sum goes through
+    ``decimal(38,18)`` casts of the per-edge contributions, so the
+    aggregation is order/partition-independent.  (Scale 18 on
+    arbitrary binary doubles is safe: a cast tie needs the decimal
+    expansion to terminate exactly one digit past the scale, which
+    needs ~60 trailing zero mantissa bits — unlike money-style inputs
+    whose expansions do terminate near low scales.)  With identical
+    per-row IEEE arithmetic on the oracle side, every iteration is
+    bit-reproducible on both engines.
+
+    Scale: per round, one shuffle keyed on ``src`` for the
+    contribution join and one keyed on ``dst`` for the sum —
+    map-side-combinable, O(|E|) rows; ``localCheckpoint`` keeps the
+    plan O(1) across rounds as in :func:`connected_components`.
+    Dangling nodes (no out-edges) contribute nothing, matching the
+    simple formulation replicated by the SQL oracle.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -212,19 +212,13 @@ def fingerprint_expr(text: Column) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
 
 
-def rolling_fingerprint_expr(text: Column, window: int = 8) -> Column:
-    """Polynomial rolling-hash document fingerprint.
-
-    Karp-Rabin style: hash every ``window``-char substring with a
-    base-257 polynomial mod 1_000_000_007, keep the minimum — a
-    shift-robust fingerprint (winnowing-lite).  Pure higher-order
-    expressions; used by tests, not oracle-compared (not reasonably
-    SQL-expressible in DuckDB).
-    """
+def kgram_hashes_expr(text: Column, k: int = 8) -> Column:
+    """All ``k``-gram polynomial rolling hashes of a string (Karp-Rabin
+    base-257 mod 1e9+7), one per window position."""
     p = F.lit(1_000_000_007).cast("long")
 
     def window_hash(i: Column) -> Column:
-        chars = F.split(F.substring(text, i, F.lit(window)), "")
+        chars = F.split(F.substring(text, i, F.lit(k)), "")
         return F.aggregate(
             chars,
             F.lit(0).cast("long"),
@@ -234,6 +228,37 @@ def rolling_fingerprint_expr(text: Column, window: int = 8) -> Column:
         )
 
     positions = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.length(text) - F.lit(window - 1))
+        F.lit(1), F.greatest(F.lit(1), F.length(text) - F.lit(k - 1))
     )
-    return F.array_min(F.transform(positions, window_hash))
+    return F.transform(positions, window_hash)
+
+
+def rolling_fingerprint_expr(text: Column, window: int = 8) -> Column:
+    """Polynomial rolling-hash document fingerprint.
+
+    Karp-Rabin style: hash every ``window``-char substring, keep the
+    minimum — a shift-robust fingerprint (winnowing-lite).  Pure
+    higher-order expressions; used by tests, not oracle-compared (not
+    reasonably SQL-expressible in DuckDB).
+    """
+    return F.array_min(kgram_hashes_expr(text, window))
+
+
+def winnow_fingerprints_expr(text: Column, k: int = 20, w: int = 8) -> Column:
+    """Winnowed fingerprint set (Schleimer et al., "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD'03): the distinct
+    minima of each ``w``-window over the ``k``-gram rolling hashes.
+
+    Guarantees every shared substring of length ≥ k + w − 1 yields at
+    least one shared fingerprint, while keeping ~1/w of the hashes —
+    the standard substring-level (not whole-doc) dedup signature.
+    Entirely higher-order expressions: row-local, JVM codegen, no
+    shuffle until the pair join.
+    """
+    hashes = kgram_hashes_expr(text, k)
+    nh = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), nh - F.lit(w - 1))),
+        lambda j: F.array_min(F.slice(hashes, j, F.lit(w))),
+    )
+    return F.array_distinct(mins)

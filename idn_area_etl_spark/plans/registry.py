@@ -54,11 +54,12 @@ def all_specs() -> dict[str, QuerySpec]:
         wave6,
         wave7,
         wave8,
+        wave9,
     )
 
     specs: dict[str, QuerySpec] = {}
     for module in (
-        tpch, tpch2, tpch3, wave4, wave5, wave6, wave7, wave8,
+        tpch, tpch2, tpch3, wave4, wave5, wave6, wave7, wave8, wave9,
         events, refops, docs, advanced,
     ):
         for spec in module.SPECS:
