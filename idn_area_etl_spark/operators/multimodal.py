@@ -96,3 +96,100 @@ def decode_payloads(
     return blobs.select("doc_id", payload_col).mapInPandas(
         run, schema=MEDIA_META_SCHEMA
     )
+
+
+#: schema of the sampled-frame rows (1 payload → N frames)
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def chunk_binary(
+    blobs: DataFrame,
+    chunk: int = 32,
+    stride: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sliding byte windows over a binary column — the audio-windowing
+    / shard-split primitive (e.g. 25 ms hops over PCM).
+
+    Entirely native: offsets come from ``sequence`` with a stride and
+    ``substring`` operates on the binary payload JVM-side, so the
+    expansion never leaves whole-stage codegen — no Python, no UDF.
+    Row count multiplies by ~len/stride; at scale, repartition after
+    if downstream is per-chunk heavy.
+    """
+    payload = F.col(payload_col)
+    offsets = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.octet_length(payload) - F.lit(chunk - 1)),
+        F.lit(stride),
+    )
+    win = F.expr(f"substring({payload_col}, off, {chunk})")
+    return (
+        blobs.select("doc_id", payload_col, F.explode(offsets).alias("off"))
+        .select(
+            "doc_id",
+            (((F.col("off") - 1) / stride) + 1).cast("int").alias("chunk_no"),
+            F.col("off").cast("int").alias("offset"),
+            F.octet_length(win).alias("chunk_len"),
+            F.md5(win).alias("chunk_md5"),
+        )
+    )
+
+
+def frame_sample(
+    blobs: DataFrame,
+    n_samples: int = 4,
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Evenly-spaced frame sampling from video-ish payloads: one input
+    row fans out to ``n_samples`` frame rows (doc_id, frame_no, ts_ms,
+    frame digest) — the table-function shape of a real ffmpeg sampler.
+
+    The codec is STUBBED like :func:`decode_payloads`: ``fake=False``
+    raises ``NotImplementedError``; ``fake=True`` derives a
+    deterministic frame count (1 + n_bytes % 240 at a notional 25 fps)
+    and per-frame digests from the payload bytes, so the Arrow
+    batching, 1→N expansion, and output schema are exercised for real.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires video codecs not present in "
+                    "this environment; pass fake=True for the "
+                    "deterministic stub sampler"
+                )
+            out = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                n_frames = 1 + len(payload) % 240
+                step = max(1, n_frames // n_samples)
+                for frame_no in range(0, n_frames, step)[:n_samples]:
+                    digest = hashlib.md5(
+                        payload + frame_no.to_bytes(4, "big")
+                    ).hexdigest()
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(frame_no)
+                    out["ts_ms"].append(frame_no * 40)
+                    out["frame_md5"].append(digest)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_no": pd.Series(out["frame_no"], dtype="int32"),
+                    "ts_ms": pd.Series(out["ts_ms"], dtype="int64"),
+                    "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                }
+            )
+
+    return blobs.select("doc_id", payload_col).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
