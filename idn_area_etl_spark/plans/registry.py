@@ -56,11 +56,12 @@ def all_specs() -> dict[str, QuerySpec]:
         wave8,
         wave9,
         wave10,
+        wave11,
     )
 
     specs: dict[str, QuerySpec] = {}
     for module in (
-        tpch, tpch2, tpch3, wave4, wave5, wave6, wave7, wave8, wave9, wave10,
+        tpch, tpch2, tpch3, wave4, wave5, wave6, wave7, wave8, wave9, wave10, wave11,
         events, refops, docs, advanced,
     ):
         for spec in module.SPECS:

@@ -89,7 +89,55 @@ ORDER BY doc_id
 """
 
 
+def q_calendar_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order calendar: exercises the date-function breadth
+    (date_trunc / quarter / dayofweek / last_day / datediff) in one
+    map-side-combinable aggregation.  Weekend test uses Spark's
+    1=Sunday convention (the oracle shifts DuckDB's 0=Sunday)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", d).alias("month_start"),
+            F.quarter(d).alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.dayofweek(d).isin(1, 7), 1).otherwise(0)
+            ).cast("long").alias("weekend_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.datediff(F.max(d), F.min(d)).alias("days_span"),
+        )
+        .withColumn(
+            "month_days", F.dayofmonth(F.last_day(F.col("month_start")))
+        )
+        .orderBy("month_start")
+    )
+
+
+Q_CALENDAR_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END)
+       AS BIGINT) AS weekend_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  CAST(datediff('day', MIN(o_orderdate), MAX(o_orderdate)) AS INT)
+    AS days_span,
+  CAST(day(last_day(date_trunc('month', o_orderdate))) AS INT) AS month_days
+FROM orders
+GROUP BY date_trunc('month', o_orderdate), quarter(o_orderdate)
+ORDER BY month_start
+"""
+
+
 SPECS = [
+    QuerySpec("q_calendar_revenue", q_calendar_revenue, Q_CALENDAR_SQL,
+              doc="calendar/date-function breadth aggregation",
+              tags=("analytics",)),
     QuerySpec("mm_audio_windows", mm_audio_windows, MM_AUDIO_WINDOWS_SQL,
               doc="native sliding byte windows over binary payloads",
               tags=("multimodal",)),

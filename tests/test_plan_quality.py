@@ -141,3 +141,33 @@ def test_cosine_topk_broadcasts_query_side(spark, specs):
     plan = plan_of(specs["e_cosine_topk"].builder(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Wave 8-10 gates: benchmark/sketch/centroid sides must broadcast;
+# the native binary-window expansion must stay Python-free.
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["d_contamination", "a_countmin_users", "a_label_cohesion"],
+)
+def test_small_sides_broadcast_in_new_waves(spark, specs, name):
+    plan = plan_of(specs[name].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_binary_windows_stay_jvm_side(spark, specs):
+    plan = plan_of(specs["mm_audio_windows"].builder(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # expansion is the native Generate operator, and the doc_id filter
+    # reaches the parquet scan through it
+    assert "Generate explode" in plan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in plan
+
+
+def test_winnow_pairs_equi_join(spark, specs):
+    plan = plan_of(specs["d_winnow_pairs"].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
