@@ -1,0 +1,96 @@
+"""Thirteenth wave: mergeable sketches + native session windows.
+
+- **HLL sketch merge** — the pre-aggregation architecture for 100 TB:
+  per-day Datasketches HLL sketches (`hll_sketch_agg`) merged with
+  `hll_union_agg` give the multi-day distinct estimate WITHOUT
+  re-touching raw rows.  Sketch bytes are engine-specific → rows-only
+  driver check; pytest certifies the lossless-merge property (merged
+  estimate == direct whole-range estimate, exactly) and <5% error vs
+  exact.
+- **Native session_window** — Spark's built-in session assignment,
+  oracle-checked against the lag/cumsum SQL formulation: proves the
+  built-in's merge semantics (gap-strict) equal the classic manual
+  sessionization on real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.sources.tables import load_table
+
+
+def a_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type from merged per-day sketches,
+    alongside the direct sketch and the exact count.
+
+    Scale: daily sketches are tiny fixed-size binaries computed with
+    map-side combine; the merge is O(days · sketch_size) — the
+    incremental-rollup pattern (store sketches, never recount raws).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.join(direct, "event_type").orderBy("event_type")
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via the built-in session_window (30 min gap).
+
+    session_window.end is last-event-time + gap, so subtracting the
+    gap recovers the last event timestamp — making the output directly
+    comparable to the manual lag/cumsum sessionization the oracle runs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+Q_SESSION_WINDOW_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+         ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+SPECS = [
+    QuerySpec("a_hll_merge_daily", a_hll_merge_daily, None,
+              doc="mergeable HLL sketches: daily → merged estimate (rows-only)",
+              tags=("stats",)),
+    QuerySpec("q_session_window_native", q_session_window_native,
+              Q_SESSION_WINDOW_SQL,
+              doc="built-in session_window vs manual lag/cumsum oracle",
+              tags=("window", "events")),
+]
