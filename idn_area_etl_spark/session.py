@@ -29,7 +29,12 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
-        master = f"local[{cpus}]"
+        # local[N, 3] = allow 2 task retries.  Bare local[N] sets
+        # spark.task.maxFailures=1, so a single transient (e.g. the
+        # rare CancelledKeyException race in the reused-Python-worker
+        # socket reader under full-suite load) aborts the whole job;
+        # real clusters run with maxFailures=4 and absorb it.
+        master = f"local[{cpus}, 3]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
