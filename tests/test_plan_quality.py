@@ -171,3 +171,50 @@ def test_winnow_pairs_equi_join(spark, specs):
     plan = plan_of(specs["d_winnow_pairs"].builder(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Wave 14-15 gates.
+# --------------------------------------------------------------------------
+
+
+def test_scd2_windows_share_one_exchange(spark, specs):
+    """All three SCD2 windows partition by custkey — the plan must
+    contain exactly ONE hash-partitioning exchange (plus the final
+    presentation sort), not one per window."""
+    plan = plan_of(specs["q_scd2_priority"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_fuzzy_linkage_is_blocked_equi_join(spark, specs):
+    """The levenshtein predicate must ride an equi-join on the block
+    key as a residual condition — never a nested loop over all
+    customer pairs."""
+    plan = plan_of(specs["j_fuzzy_customer_pairs"].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # residual on the join, not a UDF
+
+
+def test_bloom_prefilter_stays_codegen_before_semi_join(spark, specs):
+    """The bloom membership test is a literal-bitmap column expression
+    (whole-stage codegen, no Python), placed BEFORE the exact LeftSemi
+    join that removes false positives."""
+    plan = plan_of(specs["q_bloom_prefilter"].builder(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+    assert "shiftright" in plan  # the bitmap probe expression
+    # probe-side filter must appear below the join in the plan tree
+    assert plan.index("shiftright") > plan.index("LeftSemi")
+
+
+def test_triangle_join_is_equi_only(spark, specs):
+    plan = plan_of(specs["g_triangle_parts"].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantized_topk_broadcasts_probe_side(spark, specs):
+    plan = plan_of(specs["e_quantized_topk"].builder(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
