@@ -59,38 +59,43 @@ def kmeans_fit(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "farthest",
 ) -> DataFrame:
     """Deterministic Lloyd k-means over an embedding column.
 
     Returns (cluster_id int, centroid array<double>).  Empty clusters
-    keep their previous centroid.
+    keep their previous centroid.  ``init``: "farthest" = farthest-
+    point seeding (k-1 driver rounds — better spread, O(k) jobs);
+    "first" = the k lowest ids (one job — for callers fitting many
+    small codebooks, e.g. product quantization, where Lloyd rounds
+    recover the spread).
     """
     vectors = emb.select(
         F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("_vec")
     )
-    # deterministic farthest-point init (kmeans++-lite): seed with the
-    # lowest id, then repeatedly take the vector maximizing the min
-    # distance to the chosen set (ties broken by vec_id)
-    seeds = [
-        vectors.orderBy("vec_id").limit(1).select("vec_id", "_vec")
-    ]
-    chosen = seeds[0]
-    for _ in range(k - 1):
-        mind = (
-            vectors.crossJoin(
-                F.broadcast(chosen.select(F.col("_vec").alias("_cvec")))
+    if init == "first":
+        chosen = vectors.orderBy("vec_id").limit(k).select("vec_id", "_vec")
+    else:
+        # deterministic farthest-point init (kmeans++-lite): seed with
+        # the lowest id, then repeatedly take the vector maximizing the
+        # min distance to the chosen set (ties broken by vec_id)
+        chosen = vectors.orderBy("vec_id").limit(1).select("vec_id", "_vec")
+        for _ in range(k - 1):
+            mind = (
+                vectors.crossJoin(
+                    F.broadcast(chosen.select(F.col("_vec").alias("_cvec")))
+                )
+                .withColumn("_d", _sq_dist(F.col("_vec"), F.col("_cvec")))
+                .groupBy("vec_id")
+                .agg(F.min("_d").alias("_mind"))
             )
-            .withColumn("_d", _sq_dist(F.col("_vec"), F.col("_cvec")))
-            .groupBy("vec_id")
-            .agg(F.min("_d").alias("_mind"))
-        )
-        nxt = (
-            vectors.join(mind, "vec_id")
-            .orderBy(F.desc("_mind"), F.col("vec_id"))
-            .limit(1)
-            .select("vec_id", "_vec")
-        )
-        chosen = chosen.unionByName(nxt)
+            nxt = (
+                vectors.join(mind, "vec_id")
+                .orderBy(F.desc("_mind"), F.col("vec_id"))
+                .limit(1)
+                .select("vec_id", "_vec")
+            )
+            chosen = chosen.unionByName(nxt)
     centroids = (
         chosen.withColumn(
             "cluster_id", F.row_number().over(Window.orderBy("vec_id")) - 1
