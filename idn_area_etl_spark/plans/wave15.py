@@ -36,26 +36,72 @@ from idn_area_etl_spark.sources.tables import load_table
 
 
 FUZZY_MAX_DIST = 1
+# Segment split for PassJoin-style candidate generation.  For edit
+# distance <= 1 between EQUAL-length strings (i.e. one substitution),
+# at least one of two segments is untouched — so candidates are the
+# union of two sparse equi-joins on (block, segment), never an
+# all-pairs comparison.  The split point should avoid low-entropy
+# segments: customer names share the constant "Customer#" prefix, so
+# splitting at 13 keeps 4 digits in the left segment and 5 in the
+# right — both discriminative.
+FUZZY_SPLIT = 13
 
 
 def j_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs: same nation block, customer
-    names within edit distance 1."""
+    names within edit distance 1.
+
+    Candidate generation is segment-blocked (PassJoin): equal-length
+    pairs must agree on segment 1 OR segment 2 (pigeonhole over one
+    substitution); pairs whose lengths differ by 1 (one indel) pass a
+    cheap length residual on the block join.  Levenshtein runs only
+    on the surviving candidates — at 100 TB the expensive DP never
+    touches the quadratic block fan-out.
+    """
     c = load_table(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_nationkey").alias("block"),
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
+
+    def side(suffix: str) -> DataFrame:
+        return c.select(
+            F.col("c_nationkey").alias(f"block_{suffix}"),
+            F.col("c_custkey").alias(f"custkey_{suffix}"),
+            F.col("c_name").alias(f"name_{suffix}"),
+            F.length("c_name").alias(f"len_{suffix}"),
+            F.substring("c_name", 1, FUZZY_SPLIT).alias(f"seg1_{suffix}"),
+            F.expr(f"substring(c_name, {FUZZY_SPLIT + 1})").alias(
+                f"seg2_{suffix}"
+            ),
+        )
+
+    a, b = side("a"), side("b")
+    same_block = F.col("block_a") == F.col("block_b")
+    ordered = F.col("custkey_a") < F.col("custkey_b")
+    same_len = F.col("len_a") == F.col("len_b")
+    cand1 = a.join(
+        b, same_block & (F.col("seg1_a") == F.col("seg1_b"))
+    ).filter(ordered & same_len)
+    cand2 = a.join(
+        b, same_block & (F.col("seg2_a") == F.col("seg2_b"))
+    ).filter(ordered & same_len)
+    # one-indel pairs: lengths differ by exactly 1 — cheap residual,
+    # no DP on the block fan-out
+    cand3 = a.join(b, same_block).filter(
+        ordered & (F.abs(F.col("len_a") - F.col("len_b")) == 1)
     )
-    b = c.select(
-        F.col("c_nationkey").alias("block"),
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
+    cols = [
+        F.col("block_a").alias("block"),
+        "custkey_a",
+        "custkey_b",
+        "name_a",
+        "name_b",
+    ]
+    cands = (
+        cand1.select(*cols)
+        .unionAll(cand2.select(*cols))
+        .unionAll(cand3.select(*cols))
+        .dropDuplicates(["custkey_a", "custkey_b"])
     )
     return (
-        a.join(b, "block")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        cands.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
         .select("block", "custkey_a", "custkey_b", "name_a", "name_b", "dist")
         .orderBy("block", "custkey_a", "custkey_b")
