@@ -11,8 +11,8 @@ vectors.
 
 Everything is DataFrame-native:
 
-- **fit**: M independent `kmeans_fit` runs on `F.slice`s of the
-  vector column (deterministic — no RNG).
+- **fit**: one fused Lloyd loop over all M subspaces at once
+  (long-form (vec_id, sub, subvec) rows — deterministic, no RNG).
 - **encode**: nearest-centroid assignment per subspace → long-form
   codes (vec_id, sub, code): M small ints per vector.  At scale this
   is the stored representation; raw vectors leave the hot path.
@@ -24,13 +24,30 @@ Everything is DataFrame-native:
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.ivf import _sq_dist, kmeans_fit
+from idn_area_etl_spark.operators.ivf import _sq_dist
 from idn_area_etl_spark.operators.similarity import as_double_vec
+
+
+def _explode_subvecs(
+    emb: DataFrame, n_sub: int, vec_col: str, id_col: str, dim: int
+) -> DataFrame:
+    width = dim // n_sub
+    vec = as_double_vec(F.col(vec_col))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(vec, s * width + 1, width).alias("subvec"),
+                )
+                for s in range(n_sub)
+            ])
+        ).alias("x"),
+    ).select("vec_id", "x.sub", "x.subvec")
 
 
 def pq_fit(
@@ -46,22 +63,63 @@ def pq_fit(
 
     Returns (sub int, cluster_id int, centroid array<double>) with
     ``n_sub * k`` rows — kilobytes, independent of corpus size.
+
+    All M subspaces train in ONE fused Lloyd loop over the long-form
+    (vec_id, sub, subvec) frame: each round is a single broadcast
+    assign + a single (sub, cluster, dim) mean shuffle, instead of M
+    independent k-means jobs — M× fewer Spark jobs, same result.
+    Deterministic: init = the k lowest vec_ids per subspace; argmin
+    ties break on cluster_id.
     """
     if dim % n_sub:
         raise ValueError("dim must divide into n_sub equal subvectors")
-    width = dim // n_sub
-    vec = as_double_vec(F.col(vec_col))
-    books = []
-    for s in range(n_sub):
-        sub = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(vec, s * width + 1, width).alias("subvec"),
+    subs = _explode_subvecs(emb, n_sub, vec_col, id_col, dim)
+    wseed = Window.partitionBy("sub").orderBy("vec_id")
+    centroids = (
+        subs.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= k)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("int").alias("cluster_id"),
+            F.col("subvec").alias("centroid"),
         )
-        cb = kmeans_fit(
-            sub, k=k, iters=iters, vec_col="subvec", init="first"
-        ).select(F.lit(s).alias("sub"), "cluster_id", "centroid")
-        books.append(cb)
-    return reduce(lambda a, b: a.unionByName(b), books)
+    )
+    wassign = Window.partitionBy("vec_id", "sub").orderBy("_d", "cluster_id")
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(centroids), "sub")
+            .withColumn("_d", _sq_dist(F.col("subvec"), F.col("centroid")))
+            .withColumn("_rn", F.row_number().over(wassign))
+            .filter(F.col("_rn") == 1)
+        )
+        means = (
+            assigned.select(
+                "sub", "cluster_id", F.posexplode("subvec").alias("dim", "v")
+            )
+            .groupBy("sub", "cluster_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("sub", "cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda st: st["m"],
+                ).alias("centroid")
+            )
+        )
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), ["sub", "cluster_id"], "left")
+            .select(
+                "sub",
+                "cluster_id",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return centroids
 
 
 def pq_encode(
@@ -77,20 +135,7 @@ def pq_encode(
     One broadcast join against the codebooks + a per-(vec, sub)
     argmin — the corpus is touched once, map-side.
     """
-    width = dim // n_sub
-    vec = as_double_vec(F.col(vec_col))
-    subs = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice(vec, s * width + 1, width).alias("subvec"),
-                )
-                for s in range(n_sub)
-            ])
-        ).alias("x"),
-    ).select("vec_id", "x.sub", "x.subvec")
+    subs = _explode_subvecs(emb, n_sub, vec_col, id_col, dim)
     joined = subs.join(F.broadcast(codebooks), "sub")
     w = Window.partitionBy("vec_id", "sub").orderBy("_d", "cluster_id")
     return (
