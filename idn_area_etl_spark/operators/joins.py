@@ -98,3 +98,68 @@ def range_join_within(
         .withColumnRenamed("_k", key)
         .drop("_bucket")
     )
+
+
+def edit1_candidate_pairs(
+    df: DataFrame,
+    block_col: str,
+    key_col: str,
+    name_col: str,
+    split_pos: int,
+) -> DataFrame:
+    """Candidate pairs for edit-distance <= 1 matching (PassJoin-style
+    segment blocking).
+
+    Pigeonhole: equal-length strings within distance 1 differ by one
+    substitution, so they agree on segment [1, split_pos] OR segment
+    [split_pos+1, end] — two sparse equi-joins on (block, segment).
+    Strings whose lengths differ by exactly 1 (one indel) pass a cheap
+    length residual on the block join.  The expensive DP runs only on
+    the returned candidates, never the quadratic block fan-out.
+    Choose ``split_pos`` to avoid low-entropy segments (e.g. constant
+    prefixes).
+
+    Returns (block, key_a, key_b, name_a, name_b) with key_a < key_b,
+    deduplicated.  Guaranteed to be a SUPERSET of all true
+    distance<=1 pairs within a block (fuzz-verified against
+    brute-force Levenshtein in tests/test_fuzz_scale_ops.py).
+    """
+
+    def side(suffix: str) -> DataFrame:
+        return df.select(
+            F.col(block_col).alias(f"block_{suffix}"),
+            F.col(key_col).alias(f"key_{suffix}"),
+            F.col(name_col).alias(f"name_{suffix}"),
+            F.length(name_col).alias(f"len_{suffix}"),
+            F.substring(name_col, 1, split_pos).alias(f"seg1_{suffix}"),
+            F.expr(f"substring({name_col}, {split_pos + 1})").alias(
+                f"seg2_{suffix}"
+            ),
+        )
+
+    a, b = side("a"), side("b")
+    same_block = F.col("block_a") == F.col("block_b")
+    ordered = F.col("key_a") < F.col("key_b")
+    same_len = F.col("len_a") == F.col("len_b")
+    cand1 = a.join(
+        b, same_block & (F.col("seg1_a") == F.col("seg1_b"))
+    ).filter(ordered & same_len)
+    cand2 = a.join(
+        b, same_block & (F.col("seg2_a") == F.col("seg2_b"))
+    ).filter(ordered & same_len)
+    cand3 = a.join(b, same_block).filter(
+        ordered & (F.abs(F.col("len_a") - F.col("len_b")) == 1)
+    )
+    cols = [
+        F.col("block_a").alias("block"),
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+    ]
+    return (
+        cand1.select(*cols)
+        .unionAll(cand2.select(*cols))
+        .unionAll(cand3.select(*cols))
+        .dropDuplicates(["key_a", "key_b"])
+    )

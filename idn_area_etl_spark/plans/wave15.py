@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.bloom import bloom_pruned_semi_join
+from idn_area_etl_spark.operators.joins import edit1_candidate_pairs
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -59,46 +60,11 @@ def j_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the quadratic block fan-out.
     """
     c = load_table(spark, sf_dir, "customer")
-
-    def side(suffix: str) -> DataFrame:
-        return c.select(
-            F.col("c_nationkey").alias(f"block_{suffix}"),
-            F.col("c_custkey").alias(f"custkey_{suffix}"),
-            F.col("c_name").alias(f"name_{suffix}"),
-            F.length("c_name").alias(f"len_{suffix}"),
-            F.substring("c_name", 1, FUZZY_SPLIT).alias(f"seg1_{suffix}"),
-            F.expr(f"substring(c_name, {FUZZY_SPLIT + 1})").alias(
-                f"seg2_{suffix}"
-            ),
-        )
-
-    a, b = side("a"), side("b")
-    same_block = F.col("block_a") == F.col("block_b")
-    ordered = F.col("custkey_a") < F.col("custkey_b")
-    same_len = F.col("len_a") == F.col("len_b")
-    cand1 = a.join(
-        b, same_block & (F.col("seg1_a") == F.col("seg1_b"))
-    ).filter(ordered & same_len)
-    cand2 = a.join(
-        b, same_block & (F.col("seg2_a") == F.col("seg2_b"))
-    ).filter(ordered & same_len)
-    # one-indel pairs: lengths differ by exactly 1 — cheap residual,
-    # no DP on the block fan-out
-    cand3 = a.join(b, same_block).filter(
-        ordered & (F.abs(F.col("len_a") - F.col("len_b")) == 1)
-    )
-    cols = [
-        F.col("block_a").alias("block"),
-        "custkey_a",
-        "custkey_b",
-        "name_a",
-        "name_b",
-    ]
-    cands = (
-        cand1.select(*cols)
-        .unionAll(cand2.select(*cols))
-        .unionAll(cand3.select(*cols))
-        .dropDuplicates(["custkey_a", "custkey_b"])
+    cands = edit1_candidate_pairs(
+        c, block_col="c_nationkey", key_col="c_custkey",
+        name_col="c_name", split_pos=FUZZY_SPLIT,
+    ).withColumnsRenamed(
+        {"key_a": "custkey_a", "key_b": "custkey_b"}
     )
     return (
         cands.withColumn("dist", F.levenshtein("name_a", "name_b"))
