@@ -218,3 +218,50 @@ def test_quantized_topk_broadcasts_probe_side(spark, specs):
     plan = plan_of(specs["e_quantized_topk"].builder(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Wave 16-20 gates.
+# --------------------------------------------------------------------------
+
+
+def test_association_rules_broadcast_item_counts(spark, specs):
+    """The per-item count enrichments must broadcast — only the
+    basket-keyed pair join may shuffle."""
+    plan = plan_of(specs["a_association_rules"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_report_ri_checks_are_anti_joins(spark, specs):
+    """Referential-integrity checks must plan as anti joins (never a
+    NOT IN nested loop over data rows).  The 1-row scalar aggregates
+    cross-combine via broadcast nested loop — that's 1-row × 1-row,
+    allowed."""
+    plan = plan_of(specs["q_data_quality_report"].builder(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_rerank_joins_stay_equi(spark, specs):
+    """PQ: the ADC scoring join on (sub, code) and the rerank join on
+    neighbor_id are equi-joins; only deliberate broadcast tables may
+    nest."""
+    plan = plan_of(specs["e_pq_topk"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sliding_window_single_shuffle(spark, specs):
+    """The sliding window is a groupBy over the window struct: the
+    two-phase distinct aggregation's pair of hash exchanges (partial
+    on (window, user), final on window) and nothing more — no join,
+    no per-window self-join explosion."""
+    plan = plan_of(specs["q_sliding_window_users"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Join" not in plan
+
+
+def test_incremental_rollup_partials_combine_map_side(spark, specs):
+    plan = plan_of(specs["q_incremental_rollup"].builder(spark, SF_DIR))
+    assert "partial_" in plan
