@@ -285,3 +285,33 @@ def winnow_fingerprints_expr(text: Column, k: int = 20, w: int = 8) -> Column:
         lambda j: F.array_min(F.slice(hashes, j, F.lit(w))),
     )
     return F.array_distinct(mins)
+
+
+#: standard Soundex letter→digit map for A..Z (vowels/H/W/Y → 0).
+SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def soundex_expr(word: Column) -> Column:
+    """Simplified Soundex phonetic code (4 chars) as a pure native
+    expression — the classic blocking key for fuzzy name matching.
+
+    Engine-portable by construction: the run-collapse step is six
+    literal ``regexp_replace(d{2,} -> d)`` passes instead of the
+    textbook backreference ``(.)\\1+`` (DuckDB's RE2 has no
+    backreferences, Java does — a backref would make the oracle
+    unverifiable).  Ignores the H/W-adjacency refinement of full
+    Soundex; deterministic and identical across engines.
+
+    Scale: per-row scalar chain, whole-stage codegen, no shuffle.
+    """
+    up = F.upper(word)
+    first = F.substring(up, 1, 1)
+    digits = F.translate(
+        F.substring(up, 2, 1_000_000),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        SOUNDEX_DIGITS,
+    )
+    for d in "123456":
+        digits = F.regexp_replace(digits, d + "{2,}", d)
+    digits = F.replace(digits, F.lit("0"), F.lit(""))
+    return F.substring(F.concat(first, digits, F.lit("000")), 1, 4)
