@@ -265,3 +265,85 @@ def test_sliding_window_single_shuffle(spark, specs):
 def test_incremental_rollup_partials_combine_map_side(spark, specs):
     plan = plan_of(specs["q_incremental_rollup"].builder(spark, SF_DIR))
     assert "partial_" in plan
+
+
+def test_ols_single_partial_agg_no_window(spark, specs):
+    """All five OLS power sums ride ONE map-side-combinable
+    aggregation — no window, no second scan."""
+    plan = plan_of(specs["q_ols_price_quantity"].builder(spark, SF_DIR))
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_ewma_lags_share_one_window(spark, specs):
+    """The 10 lag terms and the row_number ranking fold into exactly
+    two Window operators over the same (user_id, ts) sort — the lag
+    polynomial must not multiply sorts."""
+    plan = plan_of(specs["q_ewma_user_value"].builder(spark, SF_DIR))
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_semantic_dedup_seed_broadcast_and_blocked_pairs(spark, specs):
+    """Seed assignment broadcasts the k-row seed side; the pair
+    search is an equi-join on cluster id (never a global cross
+    join of the vector table with itself)."""
+    plan = plan_of(specs["e_semantic_dedup_seeded"].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # k-seed cross join
+    assert "CartesianProduct" not in plan
+    # pair join keyed on cluster id (hash-equi; AQE may broadcast the
+    # small side at tiny SF — any equi strategy qualifies)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cluster",
+        plan,
+    )
+
+
+def test_perplexity_count_joins_stay_equi(spark, specs):
+    plan = plan_of(specs["d_perplexity_bigram"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # add-one smoothing joins on (w1, w2) / (w1): all equi joins
+    assert "Join" in plan
+
+
+def test_fifo_join_blocked_on_partkey(spark, specs):
+    """FIFO interval matching must be an equi-join on partkey with
+    the overlap predicate as residual — per-key blocked, never a
+    global interval cross join."""
+    plan = plan_of(specs["q_fifo_allocation"].builder(spark, SF_DIR))
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[partkey",
+        plan,
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_hub_side_broadcasts(spark, specs):
+    """The 25-hub side broadcasts; the customer table is never
+    shuffled for the argmin."""
+    plan = plan_of(specs["j_geo_nearest_hub"].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly the final groupBy exchanges remain
+    assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_overlap_bit_or_combines_map_side(spark, specs):
+    plan = plan_of(specs["a_bitmap_overlap"].builder(spark, SF_DIR))
+    assert "partial_bit_or" in plan
+
+
+def test_journey_single_shuffle_to_user(spark, specs):
+    """Journey strings build in one grouped aggregation by user (the
+    sort happens inside array_sort, not as a plan-level sort)."""
+    plan = plan_of(specs["q_journey_patterns"].builder(spark, SF_DIR))
+    assert "Join" not in plan
+
+
+def test_rank_movers_single_orders_scan(spark, specs):
+    """Early/late spend comes from conditional aggregation in ONE
+    scan of orders — no period self-join."""
+    plan = plan_of(specs["q_rank_movers"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
