@@ -347,3 +347,81 @@ def test_rank_movers_single_orders_scan(spark, specs):
     plan = plan_of(specs["q_rank_movers"].builder(spark, SF_DIR))
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_cumulative_distinct_single_scan_no_join(spark, specs):
+    """Running distinct users: one events scan, user-keyed min with
+    map-side partials, window only over the tiny day rollup."""
+    plan = plan_of(specs["q_cumulative_distinct_users"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "partial_min" in plan
+
+
+def test_pmi_joins_stay_equi_totals_broadcast(spark, specs):
+    """PMI: bigram→unigram probability joins are equi-joins; the only
+    nested-loop is the 1-row corpus-totals broadcast."""
+    plan = plan_of(specs["a_pmi_bigrams"].builder(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_prorata_nation_dim_broadcasts(spark, specs):
+    plan = plan_of(specs["q_prorata_allocation"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_acf_single_lineitem_scan(spark, specs):
+    """ACF reads lineitem once; the lag/stack unpivot happens on the
+    day-level rollup, never re-scanning the fact table."""
+    plan = plan_of(specs["q_acf_revenue"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_kcore_peel_joins_stay_semi_equi(spark, specs):
+    """Every peel round's endpoint filters plan as equi semi joins —
+    no nested-loop blowup across rounds."""
+    plan = plan_of(specs["g_kcore_parts"].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_moments_two_scans_mode_broadcast(spark, specs):
+    """Moment stats: power sums + mode are two customer aggs; the
+    mode joins back via broadcast, partials combine map-side."""
+    plan = plan_of(specs["q_moment_stats"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_trigrams_single_user_shuffle(spark, specs):
+    """Both leads share ONE user-keyed window exchange."""
+    plan = plan_of(specs["q_event_trigrams"].builder(spark, SF_DIR))
+    assert plan.count("Window") <= 2  # one Window op (+ its name in reuse)
+    assert "Join" not in plan
+
+
+def test_holt_no_join_single_scan(spark, specs):
+    """Holt is one events scan → day rollup → per-key fold; no joins,
+    no per-row Python."""
+    plan = plan_of(specs["q_holt_forecast"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rake_counts_join_equi(spark, specs):
+    plan = plan_of(specs["d_rake_keywords"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_join_is_equi_on_cell(spark, specs):
+    """The spatial candidate join must plan as an equi-join on the
+    grid cell — the whole point of binning is avoiding the O(n²)
+    nested loop the oracle runs."""
+    plan = plan_of(specs["j_grid_close_pairs"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
