@@ -425,3 +425,31 @@ def test_grid_join_is_equi_on_cell(spark, specs):
     plan = plan_of(specs["j_grid_close_pairs"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_thresholds_broadcast_no_sort(spark, specs):
+    """RFM buckets by broadcast percentile thresholds — no global
+    ntile sort of the customer base."""
+    plan = plan_of(specs["q_rfm_segments"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # scalar broadcasts only: ref date + threshold row (the plan
+    # string may render a broadcast twice via exchange reuse)
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_equidepth_no_global_sort_of_facts(spark, specs):
+    plan = plan_of(specs["q_equidepth_histogram"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_cohort_ltv_first_join_shuffles_on_custkey(spark, specs):
+    plan = plan_of(specs["q_cohort_ltv"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gaps_single_scan_one_window(spark, specs):
+    plan = plan_of(specs["q_interpurchase_gaps"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan

@@ -74,3 +74,42 @@ def test_streaming_session_window(spark, event_stream_dir):
     )
     # user 1: (10:00,10:02) one session + 11:00 alone; user 2: two singles
     assert sessions == [(1, 1), (1, 2), (2, 1), (2, 1)]
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+): duplicates whose
+    event times differ but fall inside the watermark delay collapse to
+    one row; state for expired keys is dropped (unlike unbounded
+    dropDuplicates, the 100 TB-stream-safe variant)."""
+    from datetime import datetime
+
+    path = str(tmp_path / "dupstream")
+    rows = [
+        (100, datetime(2024, 1, 1, 10, 0, 0), "click"),
+        (100, datetime(2024, 1, 1, 10, 3, 0), "click"),   # dup, within delay
+        (101, datetime(2024, 1, 1, 10, 1, 0), "view"),
+        (101, datetime(2024, 1, 1, 10, 2, 0), "view"),    # dup, within delay
+        (102, datetime(2024, 1, 1, 12, 0, 0), "click"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).parquet(path)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT event_id, COUNT(*) AS n FROM dedup_wm_out GROUP BY event_id"
+    ).collect()
+    counts = {r["event_id"]: r["n"] for r in out}
+    assert counts == {100: 1, 101: 1, 102: 1}
