@@ -453,3 +453,25 @@ def test_gaps_single_scan_one_window(spark, specs):
     plan = plan_of(specs["q_interpurchase_gaps"].builder(spark, SF_DIR))
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_attribution_joins_equi_on_user(spark, specs):
+    plan = plan_of(specs["q_multitouch_attribution"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_single_scan_tiny_window(spark, specs):
+    plan = plan_of(specs["q_cusum_changepoint"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_lorenz_thresholds_broadcast(spark, specs):
+    plan = plan_of(specs["q_lorenz_deciles"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_nearest_join_stays_equi(spark, specs):
+    plan = plan_of(specs["j_nearest_purchase_click"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
