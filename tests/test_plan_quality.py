@@ -475,3 +475,20 @@ def test_nearest_join_stays_equi(spark, specs):
     plan = plan_of(specs["j_nearest_purchase_click"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorized_thresholds_broadcast(spark, specs):
+    plan = plan_of(specs["q_winsorized_means"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_single_scan(spark, specs):
+    plan = plan_of(specs["q_profile_orders"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_mixture_rank_window_partitioned_by_lang(spark, specs):
+    plan = plan_of(specs["s_mixture_rebalance"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
