@@ -492,3 +492,30 @@ def test_profile_single_scan(spark, specs):
 def test_mixture_rank_window_partitioned_by_lang(spark, specs):
     plan = plan_of(specs["s_mixture_rebalance"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_loyal_forall_no_correlated_subplan(spark, specs):
+    """FORALL compiles to conditional counts — one grouped pass, the
+    nation-mean side broadcasts, no per-row correlated subquery."""
+    plan = plan_of(specs["q_loyal_customers"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_variance_partials_combine(spark, specs):
+    plan = plan_of(specs["a_dim_variance"].builder(spark, SF_DIR))
+    assert "partial_sum" in plan or "partial" in plan
+    assert "Join" not in plan
+
+
+def test_mrl_query_side_broadcasts(spark, specs):
+    """MRL stage-1 broadcasts the query side; the corpus streams —
+    no corpus shuffle before the shortlist filter."""
+    plan = plan_of(specs["e_mrl_prefix_topk"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # deliberate tiny-side NLJ
+
+
+def test_density_clusters_no_cartesian(spark, specs):
+    plan = plan_of(specs["g_grid_density_clusters"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
