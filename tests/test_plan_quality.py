@@ -519,3 +519,26 @@ def test_mrl_query_side_broadcasts(spark, specs):
 def test_density_clusters_no_cartesian(spark, specs):
     plan = plan_of(specs["g_grid_density_clusters"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_stays_codegen(spark, specs):
+    """BPE encode is a chain of higher-order folds — no Python in the
+    per-row path."""
+    plan = plan_of(specs["d_bpe_encode_stats"].builder(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_skew_report_bounded_scans(spark, specs):
+    """stats + hot-key branches re-derive the per-key rollup; two
+    single-column scans max (a cluster run would persist the rollup
+    or rely on exchange reuse), and nothing quadratic."""
+    plan = plan_of(specs["q_skew_report"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_shares_flag_exchange(spark, specs):
+    plan = plan_of(specs["q_weighted_median_price"].builder(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
