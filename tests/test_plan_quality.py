@@ -542,3 +542,17 @@ def test_weighted_median_shares_flag_exchange(spark, specs):
     plan = plan_of(specs["q_weighted_median_price"].builder(spark, SF_DIR))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_auc_single_shuffle_by_score(spark, specs):
+    """AUC: score is row-local, the only heavy exchange keys the
+    score rollup; no joins, no Python."""
+    plan = plan_of(specs["a_model_auc"].builder(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_survival_windows_on_life_table(spark, specs):
+    plan = plan_of(specs["q_survival_curve"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) <= 2
+    assert "CartesianProduct" not in plan
