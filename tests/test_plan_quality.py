@@ -556,3 +556,22 @@ def test_survival_windows_on_life_table(spark, specs):
     plan = plan_of(specs["q_survival_curve"].builder(spark, SF_DIR))
     assert len(re.findall(r"Scan parquet", plan)) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_idf_broadcasts(spark, specs):
+    """BM25: df/corpus sides broadcast; the only fact-scale exchange
+    is the (doc, term) tf aggregation."""
+    plan = plan_of(specs["d_bm25_search"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_two_rollups_one_join(spark, specs):
+    plan = plan_of(specs["q_snapshot_diff"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_impute_means_broadcast(spark, specs):
+    plan = plan_of(specs["q_impute_missing"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
