@@ -575,3 +575,15 @@ def test_snapshot_diff_two_rollups_one_join(spark, specs):
 def test_impute_means_broadcast(spark, specs):
     plan = plan_of(specs["q_impute_missing"].builder(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_reconciliation_rollup_join_equi(spark, specs):
+    plan = plan_of(specs["q_order_reconciliation"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trailing_mode_one_event_scan(spark, specs):
+    plan = plan_of(specs["w_trailing_mode"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan

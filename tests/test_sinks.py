@@ -68,3 +68,38 @@ def test_rows_clustered_within_files(spark, partitioned_docs):
         .count()
     )
     assert disordered == 0
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
+    """Re-running a day's batch with partitionOverwriteMode=dynamic
+    replaces ONLY that day's partition — the exactly-once re-run
+    story for batch backfills (other partitions untouched, no dups)."""
+    path = str(tmp_path / "dynpart")
+    df1 = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)],
+        ["day", "id", "v"],
+    )
+    df1.write.partitionBy("day").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # re-run day 1 with corrected data (one row changed, one new)
+        fix = spark.createDataFrame(
+            [("2024-01-01", 1, 11.0), ("2024-01-01", 4, 40.0)],
+            ["day", "id", "v"],
+        )
+        fix.write.mode("overwrite").partitionBy("day").parquet(path)
+        # idempotence: running the same fix again changes nothing
+        fix.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = {
+        (str(r["day"]), r["id"]): r["v"]  # partition value inferred as DATE
+        for r in spark.read.parquet(path).collect()
+    }
+    assert out == {
+        ("2024-01-01", 1): 11.0,
+        ("2024-01-01", 4): 40.0,
+        ("2024-01-02", 3): 30.0,
+    }
