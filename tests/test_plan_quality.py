@@ -587,3 +587,21 @@ def test_trailing_mode_one_event_scan(spark, specs):
     plan = plan_of(specs["w_trailing_mode"].builder(spark, SF_DIR))
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_psi_thresholds_broadcast_no_fact_sort(spark, specs):
+    plan = plan_of(specs["q_psi_drift"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_windows_over_value_rollup(spark, specs):
+    """KS ECDFs come from one window pass over the DISTINCT-value
+    rollup — never a per-row sort of the raw samples."""
+    plan = plan_of(specs["q_ks_two_sample"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_mi_contingency_single_agg(spark, specs):
+    plan = plan_of(specs["a_mutual_information"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
