@@ -605,3 +605,21 @@ def test_ks_windows_over_value_rollup(spark, specs):
 def test_mi_contingency_single_agg(spark, specs):
     plan = plan_of(specs["a_mutual_information"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_all_equi_joins(spark, specs):
+    plan = plan_of(specs["g_link_prediction"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frequent_triples_all_equi_joins(spark, specs):
+    plan = plan_of(specs["a_frequent_triples"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_engagement_single_scan_plus_scalar(spark, specs):
+    plan = plan_of(specs["q_recency_engagement"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan
