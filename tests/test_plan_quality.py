@@ -623,3 +623,15 @@ def test_engagement_single_scan_plus_scalar(spark, specs):
     plan = plan_of(specs["q_recency_engagement"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "partial" in plan
+
+
+def test_gapfill_axis_windows_not_fact_scale(spark, specs):
+    plan = plan_of(specs["q_linear_gapfill"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_waterfall_single_lineitem_pass(spark, specs):
+    """Both periods come from conditional aggregation in ONE scan."""
+    plan = plan_of(specs["q_price_volume_waterfall"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
