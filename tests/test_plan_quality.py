@@ -635,3 +635,22 @@ def test_waterfall_single_lineitem_pass(spark, specs):
     plan = plan_of(specs["q_price_volume_waterfall"].builder(spark, SF_DIR))
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_js_vocab_broadcast_equi_joins(spark, specs):
+    plan = plan_of(specs["d_js_divergence_langs"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_stump_one_pass_over_scored_rows(spark, specs):
+    """All candidate split cells come from ONE aggregation (stack of
+    a single wide agg row) — not one scan per threshold."""
+    plan = plan_of(specs["a_decision_stump"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) <= 2  # scored + thr
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_centroids_broadcast(spark, specs):
+    plan = plan_of(specs["e_silhouette_lite"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
