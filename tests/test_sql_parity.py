@@ -27,6 +27,15 @@ ANSI_PORTABLE = [
     "q_moment_stats",
     "q_multitouch_attribution",
     "q_pareto_coverage",
+    "q_loyal_customers",
+    "q_snapshot_diff",
+    "q_abc_classification",
+    "q_rank_normalize",
+    "q_ks_two_sample",
+    "q_order_reconciliation",
+    "a_frequent_triples",
+    "g_link_prediction",
+    "q_cusum_changepoint",
 ]
 
 
