@@ -654,3 +654,15 @@ def test_silhouette_centroids_broadcast(spark, specs):
     plan = plan_of(specs["e_silhouette_lite"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tile_plan_pure_codegen_explode(spark, specs):
+    plan = plan_of(specs["mm_image_tiles"].builder(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the tile explode is a native Generate
+
+
+def test_cross_modal_join_equi(spark, specs):
+    plan = plan_of(specs["mm_doc_embedding_join"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
