@@ -666,3 +666,11 @@ def test_cross_modal_join_equi(spark, specs):
     plan = plan_of(specs["mm_doc_embedding_join"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_join_one_key_exchange_no_interval_explosion(spark, specs):
+    """PIT rides the as-of union+window: no range join, no nested
+    loop — one exchange keyed on the entity."""
+    plan = plan_of(specs["j_point_in_time"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
