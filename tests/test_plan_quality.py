@@ -674,3 +674,13 @@ def test_pit_join_one_key_exchange_no_interval_explosion(spark, specs):
     plan = plan_of(specs["j_point_in_time"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_anomaly_broadcast_composition(spark, specs):
+    plan = plan_of(specs["q_seasonal_anomaly"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_kcenter_selected_side_broadcasts(spark, specs):
+    plan = plan_of(specs["s_kcenter_coreset"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
