@@ -684,3 +684,15 @@ def test_seasonal_anomaly_broadcast_composition(spark, specs):
 def test_kcenter_selected_side_broadcasts(spark, specs):
     plan = plan_of(specs["s_kcenter_coreset"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_canonical_dedup_single_scan(spark, specs):
+    plan = plan_of(specs["d_canonical_dedup"].builder(spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_quantile_normalize_ref_side_broadcasts(spark, specs):
+    plan = plan_of(specs["q_quantile_normalize"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
