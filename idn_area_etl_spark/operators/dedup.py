@@ -17,7 +17,7 @@ aggregate/transform) — no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Mersenne-ish prime keeping (P-1)*A + B within int64.
@@ -432,4 +432,141 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    n: int = 5,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (AllPairs/PPJoin family): all document pairs whose distinct word
+    ``n``-gram shingle sets have Jaccard >= ``tau_num/tau_den``.
+
+    The scale story, versus the all-pairs / blocked joins above:
+
+    1. Shingle sets are globally ordered rare-first (ascending
+       document frequency, shingle string as tiebreaker).  The
+       ordering is a tiny dimension table (the shingle vocabulary),
+       broadcast to every executor.
+    2. Each document emits only its **prefix** — the first
+       ``|S| - ceil(tau*|S|) + 1`` shingles under that ordering.  The
+       pigeonhole guarantee: two sets with Jaccard >= tau MUST share
+       at least one prefix shingle, so the candidate equi-join on the
+       prefix token loses nothing.  Rare-first ordering makes the
+       per-token candidate lists short (frequent shingles almost
+       never appear in prefixes).
+    3. A length filter (``tau*max(|A|,|B|) <= min(|A|,|B|)``, kept in
+       exact integer arithmetic) prunes candidates before
+       verification; verification is one ``array_intersect`` per
+       surviving pair.
+
+    The candidate join is an equi-join on the shingle rank — a plain
+    shuffle-hash/sort-merge join, never a cartesian — and the final
+    threshold test ``inter*tau_den >= union*tau_num`` stays in
+    integers (no float threshold edge cases).
+
+    Documents with fewer than ``n`` tokens have no n-gram shingles and
+    are excluded (mirrors the SQL oracle's ``len >= n`` guard).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    tok = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "),
+                )
+            ).alias("sh"),
+        )
+        .select("doc_id", "sh", F.size("sh").alias("nsh"))
+    )
+    ex = tok.select("doc_id", "nsh", F.explode("sh").alias("s"))
+    ranked = (
+        ex.groupBy("s")
+        .count()
+        .select(
+            "s",
+            F.row_number()
+            .over(Window.orderBy("count", "s"))
+            .alias("rank"),
+        )
+    )
+    # prefix length L = |S| - ceil(tau*|S|) + 1, in exact integers
+    ceil_tau_n = F.floor(
+        (F.lit(tau_num) * F.col("nsh") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    )
+    prefix = (
+        ex.join(F.broadcast(ranked), "s")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("pos") <= F.col("nsh") - ceil_tau_n + F.lit(1))
+        .select("doc_id", "nsh", "rank")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rank") == F.col("b.rank"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(tau_num)
+                * F.greatest(F.col("a.nsh"), F.col("b.nsh"))
+                <= F.lit(tau_den)
+                * F.least(F.col("a.nsh"), F.col("b.nsh"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
+        .distinct()
+    )
+    ta = tok.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("sh").alias("sh1"),
+        F.col("nsh").alias("n1"),
+    )
+    tb = tok.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("sh").alias("sh2"),
+        F.col("nsh").alias("n2"),
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cand.join(ta, "doc1")
+        .join(tb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            inter.alias("n_inter"),
+            (F.col("n1") + F.col("n2") - inter).alias("n_union"),
+        )
+        .filter(
+            F.col("n_inter") * F.lit(tau_den)
+            >= F.col("n_union") * F.lit(tau_num)
+        )
+        .select(
+            "doc1",
+            "doc2",
+            "n_inter",
+            "n_union",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc1", "doc2")
     )
