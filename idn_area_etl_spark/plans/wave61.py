@@ -1,0 +1,280 @@
+"""Sixty-first wave: win ratio, sequential triples, and basket
+dispersion.
+
+Reference parity note: clinical-style pairwise stats + deeper
+sequence mining + order-shape statistics; every query carries an
+exact DuckDB oracle.
+
+- **Win ratio** (`a_win_ratio`) — the generalized pairwise contrast:
+  every (treatment, control) user pair across md5 arms is compared
+  hierarchically — fewer error events wins; ties fall through to
+  higher total value — and the win ratio is wins/losses.  The pair
+  comparison runs on the per-user rollup (users^2 pairs of tiny
+  rows, shuffled on nothing but the rollup), never on raw events.
+- **Sequential triples** (`q_seq_triple_support`) — support of
+  ordered event-type triples "a ... b ... c": a user supports the
+  triple iff some b-occurrence lies strictly between their first a
+  and last c.  The "middle exists" test needs only (first_a,
+  last_c) per user-type plus one conditional min over b events —
+  no sequence scan, no triple self-join of the event log.
+- **Basket dispersion** (`q_basket_dispersion`) — distinct parts
+  per order: the count distribution plus the variance-to-mean
+  ratio (Poisson dispersion index) from pure integer sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.sources.tables import load_table
+
+
+def _arm(col) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), col.cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+
+
+# ------------------------------------------------------------------ #
+# a_win_ratio
+# ------------------------------------------------------------------ #
+
+
+def a_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical pairwise win ratio across md5 arms: fewer errors
+    wins, then higher total value; ties remain ties."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "errors"
+        ),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("tv"),
+    ).select(
+        _arm(F.col("user_id")).alias("arm"), "errors", "tv"
+    )
+    t = per_user.filter(F.col("arm") == 1).select(
+        F.col("errors").alias("te"), F.col("tv").alias("tt")
+    )
+    c = per_user.filter(F.col("arm") == 0).select(
+        F.col("errors").alias("ce"), F.col("tv").alias("ct")
+    )
+    pairs = t.crossJoin(c).select(
+        F.when(F.col("te") < F.col("ce"), F.lit(1))
+        .when(F.col("te") > F.col("ce"), F.lit(-1))
+        .when(F.col("tt") > F.col("ct"), F.lit(1))
+        .when(F.col("tt") < F.col("ct"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("outcome")
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("outcome") == 1).cast("long")).alias("wins"),
+        F.sum((F.col("outcome") == -1).cast("long")).alias("losses"),
+    )
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("losses").cast("long").alias("losses"),
+        F.round(
+            F.col("wins").cast("double") / F.col("losses"), 6
+        ).alias("win_ratio"),
+    )
+
+
+A_WINRATIO_SQL = """
+WITH per_user AS (
+  SELECT
+    CAST(('0x' || substring(md5('arm:' || CAST(user_id AS VARCHAR)),
+                            1, 13)) AS UBIGINT) % 2 AS arm,
+    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+    SUM(CAST(value AS DECIMAL(27,6))) AS tv
+  FROM events GROUP BY user_id
+),
+pairs AS (
+  SELECT CASE WHEN t.errors < c.errors THEN 1
+              WHEN t.errors > c.errors THEN -1
+              WHEN t.tv > c.tv THEN 1
+              WHEN t.tv < c.tv THEN -1
+              ELSE 0 END AS outcome
+  FROM (SELECT * FROM per_user WHERE arm = 1) t
+  CROSS JOIN (SELECT * FROM per_user WHERE arm = 0) c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN outcome = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins,
+  CAST(SUM(CASE WHEN outcome = -1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS losses,
+  ROUND(CAST(SUM(CASE WHEN outcome = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / SUM(CASE WHEN outcome = -1 THEN 1 ELSE 0 END), 6)
+    AS win_ratio
+FROM pairs
+"""
+
+
+# ------------------------------------------------------------------ #
+# q_seq_triple_support
+# ------------------------------------------------------------------ #
+
+
+def q_seq_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support of ordered event-type triples a ... b ... c (any
+    gaps), via first/last bounds plus a conditional middle test."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = bounds.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("ta"),
+        F.col("first_ts").alias("fa"),
+    )
+    c = bounds.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("tc"),
+        F.col("last_ts").alias("lc"),
+    )
+    # candidate (user, a, c) windows with fa < lc
+    ac = a.join(c, "u").filter(
+        (F.col("ta") != F.col("tc")) & (F.col("fa") < F.col("lc"))
+    )
+    mids = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("tb"),
+        F.col("ts").alias("bt"),
+    )
+    hit = (
+        ac.join(mids, "u")
+        .filter(
+            (F.col("tb") != F.col("ta"))
+            & (F.col("tb") != F.col("tc"))
+            & (F.col("bt") > F.col("fa"))
+            & (F.col("bt") < F.col("lc"))
+        )
+        .select("u", "ta", "tb", "tc")
+        .distinct()
+    )
+    return (
+        hit.groupBy("ta", "tb", "tc")
+        .agg(F.count("*").alias("support_users"))
+        .orderBy("ta", "tb", "tc")
+    )
+
+
+Q_TRIPLE_SQL = """
+WITH bounds AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id, event_type
+),
+ac AS (
+  SELECT a.user_id AS u, a.event_type AS ta, c.event_type AS tc,
+    a.first_ts AS fa, c.last_ts AS lc
+  FROM bounds a JOIN bounds c
+    ON a.user_id = c.user_id AND a.event_type <> c.event_type
+  WHERE a.first_ts < c.last_ts
+),
+hit AS (
+  SELECT DISTINCT u, ta, e.event_type AS tb, tc
+  FROM ac JOIN events e ON ac.u = e.user_id
+  WHERE e.event_type <> ta AND e.event_type <> tc
+    AND e.ts > fa AND e.ts < lc
+)
+SELECT ta AS ta, tb AS tb, tc AS tc,
+  CAST(COUNT(*) AS BIGINT) AS support_users
+FROM hit GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------------ #
+# q_basket_dispersion
+# ------------------------------------------------------------------ #
+
+
+def q_basket_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-parts-per-order distribution + Poisson dispersion
+    index (variance / mean)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("k"))
+    )
+    dist = per_order.groupBy("k").agg(F.count("*").alias("n_orders"))
+    stats = per_order.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    mean = F.col("sk").cast("double") / F.col("n")
+    var = F.col("skk").cast("double") / F.col("n") - mean * mean
+    disp = stats.select(
+        F.round(var / mean, 6).alias("dispersion_index")
+    )
+    return (
+        dist.crossJoin(F.broadcast(disp))
+        .select(
+            F.col("k").cast("long").alias("basket_size"),
+            "n_orders",
+            "dispersion_index",
+        )
+        .orderBy("basket_size")
+    )
+
+
+Q_DISPERSION_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS k
+  FROM lineitem GROUP BY l_orderkey
+),
+dist AS (
+  SELECT k, COUNT(*) AS n_orders FROM per_order GROUP BY k
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(k) AS sk, SUM(k * k) AS skk
+  FROM per_order
+),
+disp AS (
+  SELECT ROUND((CAST(skk AS DOUBLE) / n
+      - (CAST(sk AS DOUBLE) / n) * (CAST(sk AS DOUBLE) / n))
+    / (CAST(sk AS DOUBLE) / n), 6) AS dispersion_index
+  FROM stats
+)
+SELECT CAST(k AS BIGINT) AS basket_size,
+  CAST(n_orders AS BIGINT) AS n_orders, dispersion_index
+FROM dist CROSS JOIN disp
+ORDER BY basket_size
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "a_win_ratio",
+        a_win_ratio,
+        A_WINRATIO_SQL,
+        doc="hierarchical pairwise win ratio across md5 arms",
+        tags=("experimentation", "stats"),
+    ),
+    QuerySpec(
+        "q_seq_triple_support",
+        q_seq_triple_support,
+        Q_TRIPLE_SQL,
+        doc="ordered event-type triple support via bounds + middle test",
+        tags=("events", "mining"),
+    ),
+    QuerySpec(
+        "q_basket_dispersion",
+        q_basket_dispersion,
+        Q_DISPERSION_SQL,
+        doc="basket-size distribution + Poisson dispersion index",
+        tags=("bi", "stats"),
+    ),
+]
