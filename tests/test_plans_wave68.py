@@ -1,0 +1,104 @@
+"""Sixty-eighth-wave tests: oracle parity plus invariants (runs
+bounds, LOO accuracy beats chance pooled, quartiles ordered)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from idn_area_etl_spark.plans import all_specs, wave68
+from idn_area_etl_spark.sources.tables import TABLE_NAMES
+
+WAVE = ("a_runs_test", "e_knn_loo_accuracy", "q_ship_lead_time")
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        return "<null>" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _canonical(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return (
+        [cols[i] for i in order],
+        sorted(tuple(_norm(r[i]) for i in order) for r in rows),
+    )
+
+
+def test_registered():
+    specs = all_specs()
+    for name in WAVE:
+        assert name in specs
+        assert specs[name].oracle is not None
+
+
+@pytest.mark.parametrize("name", WAVE)
+def test_matches_duckdb_oracle(spark, sf_dir, name):
+    spec = all_specs()[name]
+    sdf = spec.builder(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    rel = con.sql(spec.oracle)
+    orows = rel.fetchall()
+    s_cols, s_can = _canonical(srows, sdf.columns)
+    o_cols, o_can = _canonical(orows, rel.columns)
+    con.close()
+    assert s_cols == o_cols
+    assert s_can == o_can
+
+
+def test_runs_bounds(spark, sf_dir):
+    r = wave68.a_runs_test(spark, sf_dir).collect()[0]
+    n = r["n_up"] + r["n_down"]
+    assert 1 <= r["n_runs"] <= n
+    assert 1.0 < r["expected_runs"] <= n
+    assert math.isfinite(r["z"])
+
+
+def test_knn_loo_matches_numpy(spark, sf_dir):
+    """Labels are NOT clustered in this synthetic embedding space
+    (pooled LOO accuracy sits below chance), so the check is exact
+    equality with a numpy 1-NN rather than an accuracy floor."""
+    import numpy as np
+
+    rows = wave68.e_knn_loo_accuracy(spark, sf_dir).collect()
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.array(
+        [np.array(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    labels = pdf["label"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / norms[:, None] / norms[None, :]
+    np.fill_diagonal(sims, -np.inf)
+    sims = np.round(sims, 6)
+    correct = {}
+    counts = {}
+    for i in range(len(mat)):
+        best = np.max(sims[i])
+        # tie-break on smallest candidate LABEL (matches the plan)
+        cand_labels = labels[sims[i] == best]
+        nn_label = int(np.min(cand_labels))
+        lbl = int(labels[i])
+        counts[lbl] = counts.get(lbl, 0) + 1
+        correct[lbl] = correct.get(lbl, 0) + (nn_label == lbl)
+    got = {r["label"]: (r["n"], r["n_correct"]) for r in rows}
+    assert {k: v for k, v in got.items()} == {
+        k: (counts[k], correct[k]) for k in counts
+    }
+
+
+def test_lead_time_quartiles_ordered(spark, sf_dir):
+    rows = wave68.q_ship_lead_time(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # lead times can be NEGATIVE in this synthetic data (ship
+        # dates are generated independently of order dates)
+        assert r["p25_days"] <= r["p50_days"] <= r["p75_days"]
+        assert r["n_lines"] > 0
