@@ -1,0 +1,120 @@
+"""Top principal component by distributed power iteration.
+
+PCA's leading eigenvector: center the data, then iterate
+v <- normalize(Cov v).  Each iteration is ONE distributed pass: with
+the current v held as a literal (64 doubles), Cov v = (1/n) X^T (X v)
+collapses to a posexplode aggregation keyed by dimension index —
+no covariance matrix is ever materialized (O(d^2) state avoided), so
+the same plan runs at any row count.  Iteration count is fixed
+(default 15) to keep the plan static and the result deterministic.
+
+Not expressible in portable SQL (iterative normalization), so the
+registered query is rows-only; tests/test_pca.py pins the direction
+and explained-variance ratio against numpy's eigendecomposition.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def top_principal_component(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_iter: int = 15,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Returns one row per dimension: (d, mean_d, component_d) plus
+    the explained-variance ratio replicated on every row."""
+    dims = emb.select(
+        F.posexplode(F.col(vec_col)).alias("d", "x")
+    ).select("d", F.col("x").cast("double").alias("x"))
+    stats = (
+        dims.groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("x").alias("mu"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    mu = [r["mu"] for r in stats]
+    n_rows = stats[0]["n"]
+    dim = len(mu)
+    centered = dims.join(
+        F.broadcast(
+            spark.createDataFrame(
+                [(i, m) for i, m in enumerate(mu)], "d int, mu double"
+            )
+        ),
+        "d",
+    ).select("d", (F.col("x") - F.col("mu")).alias("xc"))
+    # attach a row id per vector so X v can be formed: re-derive from
+    # the source with ids instead (posexplode preserves order per row)
+    # id BEFORE the explode — a generator in the same select would
+    # evaluate monotonically_increasing_id per OUTPUT row and shred
+    # the vectors
+    with_id = emb.select(
+        F.monotonically_increasing_id().alias("rid"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        "rid", F.posexplode(F.col("_v")).alias("d", "x")
+    ).join(
+        F.broadcast(
+            spark.createDataFrame(
+                [(i, m) for i, m in enumerate(mu)], "d int, mu double"
+            )
+        ),
+        "d",
+    ).select("rid", "d", (F.col("x") - F.col("mu")).alias("xc"))
+    with_id.cache()
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(n_iter):
+        vdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, float(w)) for i, w in enumerate(v)],
+                "d int, w double",
+            )
+        )
+        # s_r = sum_d x_rd * v_d  (one reduce per row)
+        scores = (
+            with_id.join(vdf, "d")
+            .groupBy("rid")
+            .agg(F.sum(F.col("xc") * F.col("w")).alias("s"))
+        )
+        # (Cov v)_d = (1/n) sum_r x_rd * s_r  (one reduce per dim)
+        new = (
+            with_id.join(scores, "rid")
+            .groupBy("d")
+            .agg((F.sum(F.col("xc") * F.col("s")) / n_rows).alias("cv"))
+            .orderBy("d")
+            .collect()
+        )
+        w = [r["cv"] for r in new]
+        norm = math.sqrt(sum(x * x for x in w))
+        v = [x / norm for x in w]
+        lam = norm  # ||Cov v|| with unit v -> eigenvalue estimate
+    # total variance = mean of per-dim variances summed
+    total_var = (
+        centered.select((F.col("xc") * F.col("xc")).alias("x2"))
+        .agg((F.sum("x2") / n_rows).alias("tv"))
+        .collect()[0]["tv"]
+    )
+    with_id.unpersist()
+    # sign convention: first nonzero coordinate positive
+    sign = 1.0
+    for x in v:
+        if abs(x) > 1e-12:
+            sign = 1.0 if x > 0 else -1.0
+            break
+    evr = lam / total_var
+    return spark.createDataFrame(
+        [
+            (i, float(mu[i]), float(sign * v[i]), float(round(evr, 6)))
+            for i in range(dim)
+        ],
+        "d int, mean double, component double, explained_var_ratio double",
+    )
