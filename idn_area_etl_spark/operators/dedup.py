@@ -350,6 +350,131 @@ def minhash_candidates(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The actual 100 TB fuzzy-dedup recipe: MinHash-LSH candidate
+    generation followed by EXACT word-n-gram Jaccard verification on
+    the candidates only.
+
+    Candidate generation is the banded bucket equi-join from
+    :func:`minhash_candidates` (compact ``(band_no, band_hash)`` key,
+    never an all-pairs product); verification then computes the exact
+    Jaccard for each candidate and keeps pairs with
+    ``jaccard >= threshold_num/threshold_den`` — the threshold test is
+    exact integer arithmetic (``inter*den >= union*num``), no float
+    edges.  With ``bands`` bands of ``num_hashes/bands`` rows, a pair
+    at the threshold is missed with probability
+    ``(1 - tau^(num_hashes/bands))^bands`` — at tau=0.6, 64 hashes and
+    32 two-row bands that is (1-0.36)^32 < 1e-6, so at test scale the
+    output equals the exact all-pairs join (which is what the DuckDB
+    oracle computes) while the plan stays equi-join-only.
+
+    Output: ``(doc_a, doc_b, n_inter, n_union, jaccard)`` sorted by
+    pair id.
+    """
+    rows_per_band = num_hashes // bands
+    sh = docs.select(
+        "doc_id",
+        token_shingles_expr(F.col(text_col), n).alias("sh"),
+    ).select("doc_id", "sh", F.size("sh").alias("nsh"))
+
+    p = F.lit(MINHASH_PRIME).cast("long")
+    hashed = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), p))
+
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), p)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh_hashes"), _perm(a, b)))
+            for a, b in _MINHASH_PARAMS[:num_hashes]
+        ]
+    )
+    sigs = sh.select("doc_id", hashed.alias("_sh_hashes")).select(
+        "doc_id", sig.alias("signature")
+    )
+    band_entries = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bno: F.struct(
+                bno.alias("band_no"),
+                F.xxhash64(
+                    bno,
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                bno * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ).alias("band_hash"),
+            ),
+        )
+    )
+    buckets = sigs.select("doc_id", band_entries.alias("band")).select(
+        "doc_id", "band.band_no", "band.band_hash"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("nsh").alias("n_a"),
+    )
+    tb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("nsh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - inter).alias("n_union"),
+        )
+        .filter(
+            F.col("n_inter") * F.lit(threshold_den)
+            >= F.col("n_union") * F.lit(threshold_num)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -364,21 +489,36 @@ def simhash_signatures(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    bits = F.expr(
+    # One bit array (0/1 longs), from which the display string, hex and
+    # the packed int64 signature all derive.  The packed long is what
+    # pair comparisons use: hamming = bit_count(a ^ b), one ALU op per
+    # pair instead of a 64-char string zip.
+    bit_arr = F.expr(
         """
-        array_join(transform(sequence(63, 0, -1), b ->
+        transform(sequence(63, 0, -1), b ->
           CASE WHEN aggregate(_thash, 0L, (acc, h) ->
             acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)
-          ) > 0 THEN '1' ELSE '0' END), '')
+          ) > 0 THEN 1L ELSE 0L END)
         """
+    )
+    packed = F.expr(
+        "aggregate(_bit_arr, 0L, (acc, x) -> shiftleft(acc, 1) | x)"
+    )
+    bits = F.expr(
+        "array_join(transform(_bit_arr, x -> cast(x AS STRING)), '')"
     )
     return (
         docs.select(
             "doc_id",
             F.transform(tokens, lambda t: F.xxhash64(t)).alias("_thash"),
         )
-        .select("doc_id", bits.alias("bits"))
-        .select("doc_id", "bits", F.conv("bits", 2, 16).alias("simhash"))
+        .select("doc_id", bit_arr.alias("_bit_arr"))
+        .select(
+            "doc_id",
+            bits.alias("bits"),
+            packed.alias("sig"),
+        )
+        .select("doc_id", "bits", F.conv("bits", 2, 16).alias("simhash"), "sig")
     )
 
 
@@ -392,31 +532,23 @@ def simhash_near_pairs(
     candidates come from 4 equi-joins, not a cross product.
     """
     sigs = simhash_signatures(docs, text_col)
-    # 16-bit quarters of the bit string
+    # 16-bit quarters of the packed signature (shift + mask — no string
+    # manipulation in the blocking key either)
     quarters = sigs.select(
         "doc_id",
-        "bits",
+        "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda qi: F.struct(
-                    qi.alias("q_no"),
-                    F.substring(F.col("bits"), qi * 16 + 1, F.lit(16)).alias("q_val"),
-                ),
+            F.expr(
+                "transform(sequence(0, 3), qi -> struct("
+                "  qi AS q_no,"
+                "  (shiftright(sig, (3 - qi) * 16) & 65535) AS q_val))"
             )
         ).alias("q"),
-    ).select("doc_id", "bits", "q.q_no", "q.q_val")
+    ).select("doc_id", "sig", "q.q_no", "q.q_val")
     a, b = quarters.alias("a"), quarters.alias("b")
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("a.bits"), ""),
-                F.split(F.col("b.bits"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda d: d,
-        )
-    )
+    # popcount of the XOR of the packed longs — one codegen'd ALU op per
+    # pair vs the former 64-char string zip (~64× less work per pair)
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
         a.join(
             b,
@@ -448,23 +580,27 @@ def prefix_jaccard_join(
 
     The scale story, versus the all-pairs / blocked joins above:
 
-    1. Shingle sets are globally ordered rare-first (ascending
-       document frequency, shingle string as tiebreaker).  The
-       ordering is a tiny dimension table (the shingle vocabulary),
-       broadcast to every executor.
+    1. Shingle sets are ordered rare-first by the ``(document
+       frequency, shingle)`` pair — a consistent total order with NO
+       globally-materialized rank: df joins back onto the exploded
+       shingles with a plain shuffle equi-join, and the only window is
+       per-document.  (A previous version ranked the whole vocabulary
+       through one unpartitioned row_number window and broadcast it —
+       a single-task sort plus a vocabulary-sized broadcast, both of
+       which die at 100 TB.)
     2. Each document emits only its **prefix** — the first
        ``|S| - ceil(tau*|S|) + 1`` shingles under that ordering.  The
        pigeonhole guarantee: two sets with Jaccard >= tau MUST share
        at least one prefix shingle, so the candidate equi-join on the
-       prefix token loses nothing.  Rare-first ordering makes the
-       per-token candidate lists short (frequent shingles almost
+       prefix shingle loses nothing.  Rare-first ordering makes the
+       per-shingle candidate lists short (frequent shingles almost
        never appear in prefixes).
     3. A length filter (``tau*max(|A|,|B|) <= min(|A|,|B|)``, kept in
        exact integer arithmetic) prunes candidates before
        verification; verification is one ``array_intersect`` per
        surviving pair.
 
-    The candidate join is an equi-join on the shingle rank — a plain
+    The candidate join is an equi-join on the prefix shingle — a plain
     shuffle-hash/sort-merge join, never a cartesian — and the final
     threshold test ``inter*tau_den >= union*tau_num`` stays in
     integers (no float threshold edge cases).
@@ -491,36 +627,35 @@ def prefix_jaccard_join(
         .select("doc_id", "sh", F.size("sh").alias("nsh"))
     )
     ex = tok.select("doc_id", "nsh", F.explode("sh").alias("s"))
-    ranked = (
-        ex.groupBy("s")
-        .count()
-        .select(
-            "s",
-            F.row_number()
-            .over(Window.orderBy("count", "s"))
-            .alias("rank"),
-        )
-    )
+    # Rare-first ordering comes from the (document-frequency, shingle)
+    # pair directly — no global integer rank is materialized.  The old
+    # formulation ranked the whole vocabulary through one unpartitioned
+    # row_number window and broadcast it (both explode at 100 TB); the
+    # pigeonhole argument only needs a consistent total order, and
+    # (df, s) already is one.  dfreq joins back via a plain shuffle
+    # equi-join on the shingle (AQE may broadcast it when small), and
+    # the only window left is per-document.
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # prefix length L = |S| - ceil(tau*|S|) + 1, in exact integers
     ceil_tau_n = F.floor(
         (F.lit(tau_num) * F.col("nsh") + F.lit(tau_den - 1)) / F.lit(tau_den)
     )
     prefix = (
-        ex.join(F.broadcast(ranked), "s")
+        ex.join(dfreq, "s")
         .withColumn(
             "pos",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("rank")
+                Window.partitionBy("doc_id").orderBy("df", "s")
             ),
         )
         .filter(F.col("pos") <= F.col("nsh") - ceil_tau_n + F.lit(1))
-        .select("doc_id", "nsh", "rank")
+        .select("doc_id", "nsh", "s")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.rank") == F.col("b.rank"))
+            (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.lit(tau_num)

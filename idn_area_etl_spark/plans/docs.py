@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from idn_area_etl_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_candidates,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -192,6 +193,47 @@ def d_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_docs(spark, sf_dir), threshold=0.5)
 
 
+def d_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact Jaccard verification (the 100 TB fuzzy
+    dedup composition).  Oracle-exact: with 32 two-row bands the
+    probability of missing a pair at tau=0.6 is < 1e-6, so the output
+    equals the exact all-pairs join the oracle computes."""
+    return minhash_verified_pairs(
+        _docs(spark, sf_dir), threshold_num=3, threshold_den=5
+    )
+
+
+D_MINHASH_VERIFIED_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                   for i in generate_series(1, greatest(1, len(t) - 2))])
+      AS shingles
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+    len(a.shingles) + len(b.shingles)
+      - len(list_intersect(a.shingles, b.shingles)) AS n_union
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(n_inter AS INT) AS n_inter,
+  CAST(n_union AS INT) AS n_union,
+  ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+FROM pairs
+WHERE n_inter * 5 >= n_union * 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Not SQL-expressible → rows-only check.
     return simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -324,6 +366,10 @@ SPECS = [
               doc="3-gram shingle Jaccard top-20 pairs", tags=("dedup",)),
     QuerySpec("d_minhash_candidates", d_minhash_candidates, None,
               doc="MinHash-LSH near-dup candidates (rows-only)",
+              tags=("dedup",)),
+    QuerySpec("d_minhash_verified", d_minhash_verified,
+              D_MINHASH_VERIFIED_SQL, headline=True,
+              doc="LSH candidates + exact Jaccard verify (scale recipe)",
               tags=("dedup",)),
     QuerySpec("d_simhash", d_simhash, None,
               doc="64-bit SimHash signatures (rows-only)", tags=("dedup",)),
