@@ -1,0 +1,337 @@
+"""Distributed global ordering primitives.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY plans an
+``Exchange SinglePartition`` — every row funnels through ONE task.
+Fine for a 25-row per-nation aggregate; fatal for a per-customer or
+per-document ranking at 100 TB.  These helpers compute the identical
+values with a fully distributed plan:
+
+1. ``repartitionByRange`` on the order keys (sampled range
+   boundaries; partition *i* holds keys ≤ partition *i+1*) +
+   ``sortWithinPartitions`` — one scalable shuffle, no single task.
+2. ``monotonically_increasing_id`` over the sorted partitions: the
+   id packs ``(partition_id << 33) | local_row_number`` (documented
+   layout of the builtin), so the per-partition position comes free —
+   no second exchange for a pid-window.
+3. Per-partition row counts (a ~``numPartitions``-row aggregate) turn
+   into cumulative offsets with a window over that TINY frame — its
+   cardinality is bounded by the cluster's partition count, not the
+   data — and broadcast-join back.
+
+The result is bit-identical to the single-partition window whenever
+the order is a total order (unique tiebreaker — the registry-wide
+determinism rule already requires one): global position is
+independent of where the sampled range boundaries fall, and the two
+consumers of the range exchange (rows + counts) reuse one physical
+exchange (ReuseExchange), so both see the same partitioning.
+
+Reference semantics: SQL window functions over a global ORDER BY
+(reference engines run these single-node; this is the 1000-executor
+re-expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LOCAL_MASK = (1 << 33) - 1
+
+
+def _ranged_with_position(
+    df: DataFrame, order_cols: list[Column]
+) -> DataFrame:
+    """Range-partition + sort on ``order_cols`` and attach ``_pid``
+    (range partition index) and ``_lpos`` (0-based position within the
+    partition)."""
+    d = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    return d.withColumn(
+        "_pid", F.shiftright("_mid", 33)
+    ).withColumn("_lpos", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+
+
+def _offsets(positioned: DataFrame) -> DataFrame:
+    """Per-partition starting offsets: cumulative counts over the
+    (≤ numPartitions)-row per-partition histogram.  The window here IS
+    partition-less but its input cardinality is bounded by the cluster
+    partition count — the one place a global window is always safe."""
+    counts = positioned.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        "_pid",
+        (F.sum("_n").over(w) - F.col("_n")).alias("_offset"),
+        F.sum("_n").over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[Column], out: str = "rn"
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` without a
+    single-partition sort.  ``order_cols`` must be a total order
+    (include a unique tiebreaker) for a deterministic result."""
+    d = _ranged_with_position(df, order_cols)
+    offs = _offsets(d).select("_pid", "_offset")
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out, (F.col("_offset") + F.col("_lpos") + 1))
+        .drop("_mid", "_pid", "_lpos", "_offset")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    out: str = "running",
+) -> DataFrame:
+    """Inclusive ``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` — local running sum within each range partition plus
+    a broadcast per-partition prefix total."""
+    d = _ranged_with_position(df, order_cols).withColumn("_v", value)
+    sums = d.groupBy("_pid").agg(F.sum("_v").alias("_psum"))
+    w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = sums.select(
+        "_pid", (F.sum("_psum").over(w) - F.col("_psum")).alias("_prior")
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_lpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out, F.col("_prior") + F.sum("_v").over(lw))
+        .drop("_mid", "_pid", "_lpos", "_prior", "_v")
+    )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    out: str = "running_max",
+    inclusive: bool = True,
+) -> DataFrame:
+    """``max(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
+    [AND 1 PRECEDING])`` — local running max within each range
+    partition combined (via null-skipping ``greatest``) with the max
+    of all preceding partitions.  ``inclusive=False`` gives the
+    strictly-preceding frame (first global row → NULL, matching the
+    window's empty-frame semantics)."""
+    d = _ranged_with_position(df, order_cols).withColumn("_v", value)
+    per = d.groupBy("_pid").agg(F.max("_v").alias("_pmax"))
+    w_excl = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per.select(
+        "_pid", F.max("_pmax").over(w_excl).alias("_prior")
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_lpos")
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out, F.greatest(F.max("_v").over(lw), F.col("_prior")))
+        .drop("_mid", "_pid", "_lpos", "_prior", "_v")
+    )
+
+
+def global_order_stats(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    rn_out: str = "rn",
+    run_out: str = "running",
+    count_out: str = "n_total",
+    total_out: str = "v_total",
+) -> DataFrame:
+    """One-pass combination of :func:`global_row_number`,
+    :func:`global_running_sum`, the global row count and the global
+    value total — everything a Pareto / cumulative-share query needs,
+    from a single range shuffle (the per-partition histogram carries
+    counts, partial sums, and grand totals together)."""
+    d = _ranged_with_position(df, order_cols).withColumn("_v", value)
+    per = d.groupBy("_pid").agg(
+        F.count("*").alias("_n"), F.sum("_v").alias("_psum")
+    )
+    w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = per.select(
+        "_pid",
+        (F.sum("_n").over(w) - F.col("_n")).alias("_offset"),
+        (F.sum("_psum").over(w) - F.col("_psum")).alias("_prior"),
+        F.sum("_n").over(wall).alias("_ntotal"),
+        F.sum("_psum").over(wall).alias("_vtotal"),
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_lpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(rn_out, F.col("_offset") + F.col("_lpos") + 1)
+        .withColumn(
+            run_out,
+            F.when(
+                F.col("_prior").isNull(), F.sum("_v").over(lw)
+            ).otherwise(F.col("_prior") + F.sum("_v").over(lw)),
+        )
+        .withColumn(count_out, F.col("_ntotal"))
+        .withColumn(total_out, F.col("_vtotal"))
+        .drop("_mid", "_pid", "_lpos", "_offset", "_prior",
+              "_ntotal", "_vtotal", "_v")
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    out: str = "rn",
+    count_out: str | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY partition_cols ORDER BY
+    order_cols)`` for LOW-CARDINALITY, HIGH-VOLUME groups (e.g. ~5
+    languages over billions of docs), where a plain partitioned window
+    would funnel each giant group through one task.
+
+    Range-partitions on ``(partition_cols, order_cols)`` so a huge
+    group spans several consecutive range partitions, takes the local
+    rank within ``(range partition, group)`` (one balanced hash
+    exchange), and adds per-group offsets from the tiny
+    ``(#groups × #partitions)`` histogram.  ``count_out`` optionally
+    emits the per-group total row count."""
+    pcols = [F.col(c) for c in partition_cols]
+    d = (
+        df.repartitionByRange(*pcols, *order_cols)
+        .sortWithinPartitions(*pcols, *order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+    )
+    lw = Window.partitionBy("_pid", *partition_cols).orderBy("_mid")
+    local = d.withColumn("_lrn", F.row_number().over(lw))
+    hist = local.groupBy("_pid", *partition_cols).agg(
+        F.count("*").alias("_n")
+    )
+    hw = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hwall = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = hist.select(
+        "_pid",
+        *partition_cols,
+        (F.sum("_n").over(hw) - F.col("_n")).alias("_offset"),
+        F.sum("_n").over(hwall).alias("_gtotal"),
+    )
+    res = local.join(
+        F.broadcast(offs), ["_pid", *partition_cols]
+    ).withColumn(out, F.col("_offset") + F.col("_lrn"))
+    if count_out is not None:
+        res = res.withColumn(count_out, F.col("_gtotal"))
+    return res.drop("_mid", "_pid", "_lrn", "_offset", "_gtotal")
+
+
+def global_running_multi(
+    df: DataFrame,
+    order_cols: list[Column],
+    values: dict[str, Column],
+    run_prefix: str = "cum_",
+    total_prefix: str = "tot_",
+) -> DataFrame:
+    """Inclusive global running sums AND grand totals for SEVERAL
+    value columns in one range shuffle (e.g. the two empirical CDFs a
+    KS statistic compares)."""
+    d = _ranged_with_position(df, order_cols)
+    for k, v in values.items():
+        d = d.withColumn(f"_v_{k}", v)
+    per = d.groupBy("_pid").agg(
+        *[F.sum(f"_v_{k}").alias(f"_ps_{k}") for k in values]
+    )
+    w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = per.select(
+        "_pid",
+        *[
+            (F.sum(f"_ps_{k}").over(w) - F.col(f"_ps_{k}")).alias(
+                f"_prior_{k}"
+            )
+            for k in values
+        ],
+        *[F.sum(f"_ps_{k}").over(wall).alias(f"_tot_{k}") for k in values],
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_lpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d.join(F.broadcast(offs), "_pid")
+    for k in values:
+        out = out.withColumn(
+            f"{run_prefix}{k}",
+            F.col(f"_prior_{k}") + F.sum(f"_v_{k}").over(lw),
+        ).withColumn(f"{total_prefix}{k}", F.col(f"_tot_{k}"))
+    drop = ["_mid", "_pid", "_lpos"]
+    for k in values:
+        drop += [f"_v_{k}", f"_ps_{k}", f"_prior_{k}", f"_tot_{k}"]
+    return out.drop(*[c for c in drop if c in out.columns])
+
+
+def global_ntile(
+    df: DataFrame, order_cols: list[Column], k: int, out: str = "tile"
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY order_cols)`` from the distributed
+    row number: with N rows the first ``N % k`` tiles hold
+    ``N//k + 1`` rows and the rest ``N//k`` (the SQL ntile contract).
+    """
+    d = _ranged_with_position(df, order_cols)
+    offs = _offsets(d)
+    rn = F.col("_offset") + F.col("_lpos") + 1
+    n = F.col("_total")
+    q = F.floor(n / k)
+    r = n % k
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    tile = F.when(
+        rn <= big, F.ceil(rn / (q + 1))
+    ).otherwise(r + F.ceil((rn - big) / q))
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out, tile.cast("int"))
+        .drop("_mid", "_pid", "_lpos", "_offset", "_total")
+    )

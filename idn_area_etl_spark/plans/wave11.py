@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_running_sum
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -150,11 +151,14 @@ def s_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.select(
+    # unbounded doc count — running token sum via the distributed
+    # range-partitioned primitive instead of one global window sort
+    packed = global_running_sum(
+        toks, [F.col("doc_id").asc()], F.col("n_tokens"), out="cum_toks"
+    ).select(
         "doc_id",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET).alias("batch_id"),
+        F.floor((F.col("cum_toks") - 1) / PACK_BUDGET).alias("batch_id"),
     )
     return (
         packed.groupBy("batch_id")

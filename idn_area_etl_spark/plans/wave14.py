@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_running_sum
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -126,13 +127,17 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = sess.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
         sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
     )
-    wsweep = Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    running = points.select(
-        F.date_trunc("day", "ts").alias("day"),
-        F.sum("delta").over(wsweep).alias("open_now"),
-    )
+    # session-boundary cardinality is unbounded — the sweep's running
+    # sum comes from the distributed range-partitioned primitive.
+    # Ties within (ts, delta) may split across range partitions; the
+    # multiset of running values over a tie group is order-invariant,
+    # so the per-day max is unchanged.
+    running = global_running_sum(
+        points,
+        [F.col("ts").asc(), F.col("delta").desc()],
+        F.col("delta"),
+        out="open_now",
+    ).select(F.date_trunc("day", "ts").alias("day"), "open_now")
     return (
         running.groupBy("day")
         .agg(F.max("open_now").alias("peak_concurrent"))

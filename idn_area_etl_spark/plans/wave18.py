@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_running_max
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -52,11 +53,14 @@ def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("spend", F.coalesce("spend", F.lit(0.0)))
     )
     levels = pts.groupBy("bal").agg(F.max("spend").alias("best_spend"))
-    wlv = Window.orderBy(F.col("bal").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    lv = levels.withColumn(
-        "prev_best", F.max("best_spend").over(wlv)
+    # distinct balance levels are data-dependent — running best via the
+    # distributed range-partitioned primitive, not a global window
+    lv = global_running_max(
+        levels,
+        [F.col("bal").desc()],
+        F.col("best_spend"),
+        out="prev_best",
+        inclusive=False,
     ).withColumn(
         "level_ok",
         F.col("prev_best").isNull()

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_row_number
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -257,13 +258,18 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("late"),
     )
-    w_early = Window.orderBy(F.desc("early"), "o_custkey")
-    w_late = Window.orderBy(F.desc("late"), "o_custkey")
-    ranked = spend.select(
-        "o_custkey",
-        F.rank().over(w_early).alias("rank_early"),
-        F.rank().over(w_late).alias("rank_late"),
-    )
+    # per-customer ranks are unbounded at scale; the order carries a
+    # unique tiebreaker, so rank() == row_number() and the distributed
+    # range-partitioned ranking applies
+    ranked = global_row_number(
+        global_row_number(
+            spend,
+            [F.col("early").desc(), F.col("o_custkey").asc()],
+            "rank_early",
+        ),
+        [F.col("late").desc(), F.col("o_custkey").asc()],
+        "rank_late",
+    ).select("o_custkey", "rank_early", "rank_late")
     delta = (F.col("rank_early") - F.col("rank_late")).alias("rank_delta")
     return (
         ranked.select("o_custkey", "rank_early", "rank_late", delta)

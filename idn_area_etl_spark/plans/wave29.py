@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_order_stats
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -153,20 +154,25 @@ def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("spend")
     )
-    w_all = Window.partitionBy()
-    w_cum = Window.orderBy(
-        F.col("spend").desc(), "o_custkey"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_cust.select(
+    # per-customer cardinality is unbounded at scale — the global
+    # rank/cum-share comes from the distributed range-partitioned
+    # primitive, not a single-partition window
+    ranked = global_order_stats(
+        per_cust,
+        [F.col("spend").desc(), F.col("o_custkey").asc()],
+        F.col("spend"),
+        rn_out="rk",
+        run_out="cum_spend",
+        count_out="n_total",
+        total_out="total_spend",
+    ).select(
         "o_custkey",
-        F.row_number()
-        .over(Window.orderBy(F.col("spend").desc(), "o_custkey"))
-        .alias("rk"),
+        "rk",
         (
-            F.sum("spend").over(w_cum).cast("double")
-            / F.sum("spend").over(w_all).cast("double")
+            F.col("cum_spend").cast("double")
+            / F.col("total_spend").cast("double")
         ).alias("cum_share"),
-        F.count("*").over(w_all).alias("n_total"),
+        "n_total",
     )
     cut = ranked.filter(F.col("cum_share") >= PARETO_TARGET).agg(
         F.min("rk").alias("n_top")

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_running_sum
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -81,13 +82,15 @@ def a_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("y").alias("n_pos"),
     )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = rolled.select(
+    # distinct-score cardinality is data-dependent — the cumulative
+    # count comes from the distributed range-partitioned running sum
+    # (inclusive minus own group), not a single-partition window
+    ranked = global_running_sum(
+        rolled, [F.col("score").asc()], F.col("n"), out="cum_incl"
+    ).select(
         "n",
         "n_pos",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+        (F.col("cum_incl") - F.col("n")).alias("cum_before"),
     )
     # average rank of a tie group = cum_before + (n + 1) / 2
     avg_rank = (

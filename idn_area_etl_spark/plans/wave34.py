@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_order_stats
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -106,16 +107,21 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(rev.cast("decimal(24,6)")).alias("rev")
     )
-    w_cum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    shared = per_part.select(
+    # per-part cardinality is unbounded at scale — cumulative share via
+    # the distributed range-partitioned primitive (one range shuffle,
+    # no single-partition window)
+    shared = global_order_stats(
+        per_part,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        F.col("rev"),
+        run_out="cum_rev",
+        total_out="total_rev",
+    ).select(
         "l_partkey",
         "rev",
         (
-            F.sum("rev").over(w_cum).cast("double")
-            / F.sum("rev").over(w_all).cast("double")
+            F.col("cum_rev").cast("double")
+            / F.col("total_rev").cast("double")
         ).alias("cum_share"),
     )
     cls = (

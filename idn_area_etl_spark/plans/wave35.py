@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -164,19 +165,21 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_a").cast("long")).alias("ca"),
         F.sum((~F.col("is_a")).cast("long")).alias("cb"),
     )
-    w_cum = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, 0
+    # distinct-value cardinality is unbounded — both empirical CDFs
+    # (running + total for ca and cb) from ONE distributed range
+    # shuffle, no single-partition window
+    cdfs = global_running_multi(
+        rolled,
+        [F.col("value").asc()],
+        {"ca": F.col("ca"), "cb": F.col("cb")},
     )
-    w_all = Window.partitionBy()
     diff = F.abs(
-        F.sum("ca").over(w_cum).cast("double")
-        / F.sum("ca").over(w_all).cast("double")
-        - F.sum("cb").over(w_cum).cast("double")
-        / F.sum("cb").over(w_all).cast("double")
+        F.col("cum_ca").cast("double") / F.col("tot_ca").cast("double")
+        - F.col("cum_cb").cast("double") / F.col("tot_cb").cast("double")
     )
-    stepped = rolled.select(
-        F.sum("ca").over(w_all).alias("n_a"),
-        F.sum("cb").over(w_all).alias("n_b"),
+    stepped = cdfs.select(
+        F.col("tot_ca").alias("n_a"),
+        F.col("tot_cb").alias("n_b"),
         F.round(diff, 6).alias("d"),
     )
     return stepped.agg(

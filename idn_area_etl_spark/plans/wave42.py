@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_row_number, grouped_row_number
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -216,20 +217,20 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     ref = docs.filter(F.col("lang") == QN_REF_LANG)
-    w_ref = Window.orderBy("n_chars", "doc_id")
-    ref_sorted = ref.select(
-        F.row_number().over(w_ref).alias("idx"),
-        F.col("n_chars").alias("ref_val"),
-    )
+    # reference-language cardinality is unbounded — distributed rank
+    ref_sorted = global_row_number(
+        ref, [F.col("n_chars").asc(), F.col("doc_id").asc()], out="idx"
+    ).select(F.col("idx"), F.col("n_chars").alias("ref_val"))
     n_ref = ref.count()  # driver scalar: deterministic, O(1)
-    w_lang = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    w_cnt = Window.partitionBy("lang")
-    ranked = docs.select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w_lang).alias("rn"),
-        F.count("*").over(w_cnt).alias("n_lang"),
-    )
+    # languages are few but each is huge: grouped_row_number splits a
+    # giant language across range partitions instead of one task
+    ranked = grouped_row_number(
+        docs,
+        ["lang"],
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        out="rn",
+        count_out="n_lang",
+    ).select("lang", "n_chars", "rn", "n_lang")
     r = (F.col("rn") - 1).cast("double") / F.greatest(
         (F.col("n_lang") - 1).cast("double"), F.lit(1.0)
     )

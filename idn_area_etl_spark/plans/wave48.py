@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_ntile
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 from idn_area_etl_spark.plans.wave32 import _score_expr, _score_sql
@@ -43,11 +44,16 @@ def a_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score_expr(F.col("embedding")).alias("score"),
         (F.col("label") % 2 == 1).cast("long").alias("y"),
     )
-    decile = F.ntile(10).over(
-        Window.orderBy(F.desc("score"), "vec_id")
-    )
+    # per-vector deciles are unbounded at scale: distributed
+    # range-partitioned ntile, not a single-partition window sort
     per_dec = (
-        scored.select(decile.alias("decile"), "y")
+        global_ntile(
+            scored,
+            [F.col("score").desc(), F.col("vec_id").asc()],
+            10,
+            out="decile",
+        )
+        .select("decile", "y")
         .groupBy("decile")
         .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )
@@ -187,11 +193,10 @@ def d_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select("doc_id", toks.alias("ws"))
     # doc -> decile by doc_id order
-    ranked = base.select(
-        "doc_id",
-        "ws",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
-    )
+    # per-doc deciles are unbounded at scale: distributed ntile
+    ranked = global_ntile(
+        base, [F.col("doc_id").asc()], 10, out="decile"
+    ).select("doc_id", "ws", "decile")
     # tokens per decile (then cumulative)
     tokens_per_dec = ranked.groupBy("decile").agg(
         F.sum(F.size("ws").cast("long")).alias("toks")

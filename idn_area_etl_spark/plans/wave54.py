@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.dedup import prefix_jaccard_join
 from idn_area_etl_spark.operators.graph import connected_components
+from idn_area_etl_spark.operators.ranks import global_row_number
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -167,14 +168,16 @@ def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
-    ranked = base.select(
-        F.row_number()
-        .over(Window.orderBy("c_acctbal", "c_custkey"))
-        .alias("rx"),
-        F.row_number()
-        .over(Window.orderBy("n_orders", "c_custkey"))
-        .alias("ry"),
-    )
+    # per-customer ranks are unbounded at scale: two distributed
+    # range-partitioned rankings instead of two single-partition
+    # window sorts (values identical — unique tiebreakers)
+    ranked = global_row_number(
+        global_row_number(
+            base, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], "rx"
+        ),
+        [F.col("n_orders").asc(), F.col("c_custkey").asc()],
+        "ry",
+    ).select("rx", "ry")
     sums = ranked.agg(
         F.count("*").alias("n"),
         F.sum(F.col("rx") * F.col("ry")).alias("sxy"),

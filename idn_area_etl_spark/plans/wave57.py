@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_ntile
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -148,18 +149,20 @@ def q_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("late"),
     )
     # ntile only over rows active in that era; inactive -> tier 0
-    active_e = spend.filter(F.col("early").isNotNull()).select(
-        "o_custkey",
-        F.ntile(4)
-        .over(Window.orderBy("early", "o_custkey"))
-        .alias("from_tier"),
-    )
-    active_l = spend.filter(F.col("late").isNotNull()).select(
-        "o_custkey",
-        F.ntile(4)
-        .over(Window.orderBy("late", "o_custkey"))
-        .alias("to_tier"),
-    )
+    # per-customer quartiles are unbounded at scale: distributed
+    # range-partitioned ntile, not single-partition window sorts
+    active_e = global_ntile(
+        spend.filter(F.col("early").isNotNull()),
+        [F.col("early").asc(), F.col("o_custkey").asc()],
+        4,
+        out="from_tier",
+    ).select("o_custkey", "from_tier")
+    active_l = global_ntile(
+        spend.filter(F.col("late").isNotNull()),
+        [F.col("late").asc(), F.col("o_custkey").asc()],
+        4,
+        out="to_tier",
+    ).select("o_custkey", "to_tier")
     merged = (
         spend.select("o_custkey")
         .join(active_e, "o_custkey", "left")

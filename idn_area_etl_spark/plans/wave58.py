@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_row_number, grouped_row_number
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -140,23 +141,18 @@ def s_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending) interleaved round-robin across languages; language mix
     per schedule decile."""
     docs = load_table(spark, sf_dir, "documents")
-    ranked = docs.select(
-        "doc_id",
-        "lang",
-        F.row_number()
-        .over(
-            Window.partitionBy("lang").orderBy(
-                F.length("text"), F.col("doc_id")
-            )
-        )
-        .alias("rk"),
-    )
-    scheduled = ranked.select(
-        "lang",
-        F.row_number()
-        .over(Window.orderBy("rk", "lang"))
-        .alias("pos"),
-    )
+    # languages are few but huge: grouped_row_number splits each giant
+    # language across range partitions; the interleave position is the
+    # distributed global rank over (rk, lang)
+    ranked = grouped_row_number(
+        docs.select("doc_id", "lang", F.length("text").alias("_len")),
+        ["lang"],
+        [F.col("_len").asc(), F.col("doc_id").asc()],
+        out="rk",
+    ).select("doc_id", "lang", "rk")
+    scheduled = global_row_number(
+        ranked, [F.col("rk").asc(), F.col("lang").asc()], out="pos"
+    ).select("lang", "pos")
     tot = scheduled.agg(F.count("*").alias("N"))
     deciled = scheduled.crossJoin(F.broadcast(tot)).select(
         "lang",

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_ntile
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -256,13 +257,13 @@ def a_poststratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.count("*")
         ).cast("long").alias("converted"),
     )
-    strat = per_user.select(
-        _ARM(F.col("user_id")).alias("arm"),
-        "converted",
-        F.ntile(5)
-        .over(Window.orderBy("tv", "user_id"))
-        .alias("stratum"),
-    )
+    # per-user quintiles are unbounded at scale: distributed ntile
+    strat = global_ntile(
+        per_user,
+        [F.col("tv").asc(), F.col("user_id").asc()],
+        5,
+        out="stratum",
+    ).select(_ARM(F.col("user_id")).alias("arm"), "converted", "stratum")
     cells = strat.groupBy("stratum", "arm").agg(
         F.count("*").alias("n"), F.sum("converted").alias("k")
     )

@@ -217,22 +217,30 @@ def a_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exposure = recs.groupBy("p2").agg(F.count("*").alias("hits"))
     catalog = op.select("l_partkey").distinct().count()
-    ranked = exposure.withColumn(
-        "er", F.row_number().over(Window.orderBy(F.desc("hits"), "p2"))
+    # only top-10 membership matters — TakeOrdered (scalable per-
+    # partition top-k + merge) instead of a global row_number window
+    top10 = (
+        exposure.orderBy(F.desc("hits"), "p2")
+        .limit(10)
+        .agg(F.sum("hits").alias("top_hits"))
     )
-    return ranked.agg(
-        F.count("*").cast("long").alias("n_recommended_parts"),
-        F.lit(catalog).cast("long").alias("catalog_size"),
-        F.round(
-            F.count("*").cast("double") / F.lit(catalog), 6
-        ).alias("coverage"),
-        F.round(
-            F.sum(F.when(F.col("er") <= 10, F.col("hits"))).cast(
-                "double"
-            )
-            / F.sum("hits"),
-            6,
-        ).alias("top10_exposure_share"),
+    return (
+        exposure.agg(
+            F.count("*").cast("long").alias("n_recommended_parts"),
+            F.sum("hits").alias("all_hits"),
+        )
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_recommended_parts",
+            F.lit(catalog).cast("long").alias("catalog_size"),
+            F.round(
+                F.col("n_recommended_parts").cast("double") / F.lit(catalog),
+                6,
+            ).alias("coverage"),
+            F.round(
+                F.col("top_hits").cast("double") / F.col("all_hits"), 6
+            ).alias("top10_exposure_share"),
+        )
     )
 
 

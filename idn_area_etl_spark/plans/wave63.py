@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_order_stats
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -237,17 +238,18 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev"
         )
     )
-    tot = rev.agg(F.sum("rev").alias("grand"))
-    ranked = rev.crossJoin(F.broadcast(tot)).select(
+    # unbounded part cardinality — distributed range-partitioned
+    # cumulative share (one range shuffle, no single-partition window)
+    ranked = global_order_stats(
+        rev,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        F.col("rev"),
+        run_out="cum_rev",
+        total_out="grand",
+    ).select(
         "l_partkey",
         (
-            F.sum("rev")
-            .over(
-                Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            )
-            .cast("double")
+            F.col("cum_rev").cast("double")
             / F.col("grand").cast("double")
         ).alias("cum_share"),
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_ntile
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -67,10 +68,10 @@ def d_interarrival_burstiness(
         "n",
         ((sd - mu) / (sd + mu)).alias("b"),
     )
-    quart = scored.select(
-        "b",
-        F.ntile(4).over(Window.orderBy("n", "b")).alias("quartile"),
-    )
+    # per-user quartiles are unbounded at scale: distributed ntile
+    quart = global_ntile(
+        scored, [F.col("n").asc(), F.col("b").asc()], 4, out="quartile"
+    ).select("b", "quartile")
     return (
         quart.groupBy("quartile")
         .agg(
@@ -198,12 +199,15 @@ def q_churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("at_risk"),
         )
     )
-    quart = flagged.select(
-        "at_risk",
-        F.ntile(4)
-        .over(Window.orderBy("n_gaps", "at_risk"))
-        .alias("quartile"),
-    )
+    # per-user quartiles are unbounded at scale: distributed ntile
+    # (tie groups are homogeneous in every aggregated field, so any
+    # tie split yields identical per-quartile aggregates)
+    quart = global_ntile(
+        flagged,
+        [F.col("n_gaps").asc(), F.col("at_risk").asc()],
+        4,
+        out="quartile",
+    ).select("at_risk", "quartile")
     return (
         quart.groupBy("quartile")
         .agg(

@@ -227,13 +227,31 @@ def w_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_totalprice").cast("double").alias("price"),
     )
-    w = Window.orderBy("price").rangeBetween(-1000, 1000)
-    framed = urgent.select(
-        "o_orderkey",
-        F.round("price", 2).alias("price"),
-        F.count("*").over(w).cast("long").alias("n_within_1000"),
+    # only 20 probe rows are reported: take them with TakeOrdered
+    # (scalable per-partition top-k + merge), broadcast them, and
+    # count the +/-1000 band with one broadcast range join — the full
+    # RANGE-frame window would sort every urgent order on one task
+    probes = urgent.orderBy("o_orderkey").limit(20)
+    counts = (
+        F.broadcast(
+            probes.select(
+                F.col("o_orderkey").alias("p_key"),
+                F.col("price").alias("p_price"),
+            )
+        )
+        .join(
+            urgent.select(F.col("price").alias("c_price")),
+            (F.col("c_price") >= F.col("p_price") - 1000)
+            & (F.col("c_price") <= F.col("p_price") + 1000),
+        )
+        .groupBy("p_key", "p_price")
+        .agg(F.count("*").alias("n_within_1000"))
     )
-    return framed.orderBy("o_orderkey").limit(20)
+    return counts.select(
+        F.col("p_key").alias("o_orderkey"),
+        F.round("p_price", 2).alias("price"),
+        F.col("n_within_1000").cast("long").alias("n_within_1000"),
+    ).orderBy("o_orderkey")
 
 
 W_RANGE_SQL = """

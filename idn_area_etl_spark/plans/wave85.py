@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.dedup import prefix_jaccard_join
 from idn_area_etl_spark.operators.graph import connected_components
+from idn_area_etl_spark.operators.ranks import global_running_sum
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -59,14 +60,15 @@ def a_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = armed.groupBy("tv").agg(
         F.count("*").alias("n"), F.sum("g").alias("n1g")
     )
-    w = Window.orderBy("tv").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = rolled.select(
+    # distinct-tv cardinality is unbounded — distributed running sum
+    # (inclusive minus own group), not a single-partition window
+    ranked = global_running_sum(
+        rolled, [F.col("tv").asc()], F.col("n"), out="cum_incl"
+    ).select(
         "n",
         "n1g",
         (
-            F.coalesce(F.sum("n").over(w), F.lit(0)).cast("double")
+            (F.col("cum_incl") - F.col("n")).cast("double")
             + (F.col("n").cast("double") + 1.0) / 2.0
         ).alias("avg_rank"),
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_running_sum
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -62,14 +63,15 @@ def a_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("ad").agg(
         F.count("*").alias("n"), F.sum("pos").alias("npos")
     )
-    w = Window.orderBy("ad").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = rolled.select(
+    # distinct-|diff| cardinality is unbounded — distributed running
+    # sum (inclusive minus own group), not a single-partition window
+    ranked = global_running_sum(
+        rolled, [F.col("ad").asc()], F.col("n"), out="cum_incl"
+    ).select(
         "n",
         "npos",
         (
-            F.coalesce(F.sum("n").over(w), F.lit(0)).cast("double")
+            (F.col("cum_incl") - F.col("n")).cast("double")
             + (F.col("n").cast("double") + 1.0) / 2.0
         ).alias("avg_rank"),
     )

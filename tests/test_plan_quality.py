@@ -34,6 +34,67 @@ def specs():
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# No registered query may sort UNBOUNDED data through a partition-less
+# window (Exchange SinglePartition feeding a Window funnels every row
+# through ONE task).  Two exemptions:
+#   1. Windows whose spec references the `_pid` column are the internal
+#      per-range-partition offset histograms of operators/ranks.py —
+#      their input is <= the cluster partition count by construction.
+#   2. Specs in BOUNDED_GLOBAL_WINDOW_OK run their global window over a
+#      key-domain-bounded intermediate (calendar days/months/weeks,
+#      25 nations, priority x segment cells, fixed bootstrap replicate
+#      counts, fixed decile/bucket counts, 2 experiment arms, 30-day
+#      pair grids) — cardinality is fixed by the domain, not the data,
+#      so the single task sees a few thousand rows at any scale.
+# Everything else (per-customer / per-part / per-doc / per-user /
+# distinct-value ranks) must use the distributed primitives in
+# operators/ranks.py.
+# --------------------------------------------------------------------------
+
+BOUNDED_GLOBAL_WINDOW_OK = {
+    # calendar-day / month / week axis (fixed by the date domain)
+    "a_best_split_sse", "a_durbin_watson", "a_ljung_box", "a_logrank_test",
+    "a_mase_seasonal", "a_runs_test", "q_acf_revenue", "q_catalog_growth",
+    "q_cumulative_distinct_users", "q_cusum_changepoint", "q_linear_gapfill",
+    "q_mom_revenue_change", "q_revenue_pacing", "q_rolling_corr_daily",
+    "q_rolling_median_revenue", "q_survival_curve", "s_purged_time_folds",
+    # 25-nation / region leaderboards
+    "a_bh_fdr", "a_borda_ranking", "a_kendall_tau", "q_prorata_allocation",
+    "q_ratio_to_report",
+    # fixed-cardinality cells / replicates / tiles / arms
+    "a_mutual_information",      # event_type x quartile cells
+    "a_poisson_bootstrap_ci",    # 24 bootstrap replicates
+    "a_theil_sen",               # 30-day pair grid
+    "a_two_proportion_ztest",    # 2 arms
+    "q_chi2_priority_segment",   # priority x segment cells
+    "q_psi_drift",               # 10 PSI buckets
+    "a_cumulative_gains",        # second window over 10 deciles
+    "d_vocab_growth",            # second window over 10 deciles
+}
+
+
+def test_no_unbounded_single_partition_window(spark, specs):
+    offenders = {}
+    for name, spec in specs.items():
+        plan = plan_of(spec.builder(spark, SF_DIR))
+        lines = plan.splitlines()
+        bad = []
+        for i, line in enumerate(lines):
+            if re.search(r"\bWindow \[", line) and "_pid#" not in line:
+                for below in lines[i + 1:]:
+                    if "Exchange" in below:
+                        if "Exchange SinglePartition" in below:
+                            bad.append(line.strip()[:70])
+                        break
+        if bad and name not in BOUNDED_GLOBAL_WINDOW_OK:
+            offenders[name] = bad
+    assert offenders == {}, (
+        "single-partition window over data-dependent cardinality; use "
+        f"operators/ranks.py primitives: {offenders}"
+    )
+
+
 def test_no_cartesian_product_anywhere(spark, specs):
     offenders = []
     for name, spec in specs.items():
@@ -343,10 +404,11 @@ def test_journey_single_shuffle_to_user(spark, specs):
 
 def test_rank_movers_single_orders_scan(spark, specs):
     """Early/late spend comes from conditional aggregation in ONE
-    scan of orders — no period self-join."""
+    scan of orders — no period self-join.  The only joins allowed are
+    the broadcast joins against the distributed-ranking offset
+    histograms (<= numPartitions rows each)."""
     plan = plan_of(specs["q_rank_movers"].builder(spark, SF_DIR))
-    assert len(re.findall(r"Scan parquet", plan)) == 1
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_cumulative_distinct_single_scan_no_join(spark, specs):
@@ -548,7 +610,8 @@ def test_auc_single_shuffle_by_score(spark, specs):
     """AUC: score is row-local, the only heavy exchange keys the
     score rollup; no joins, no Python."""
     plan = plan_of(specs["a_model_auc"].builder(spark, SF_DIR))
-    assert "Join" not in plan
+    # only the broadcast joins against the ranking offset histograms
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -598,8 +661,9 @@ def test_ks_windows_over_value_rollup(spark, specs):
     """KS ECDFs come from one window pass over the DISTINCT-value
     rollup — never a per-row sort of the raw samples."""
     plan = plan_of(specs["q_ks_two_sample"].builder(spark, SF_DIR))
-    assert len(re.findall(r"Scan parquet", plan)) == 1
-    assert "Join" not in plan
+    # scans: the raw sample plus the offset-histogram branch (one
+    # ReusedExchange at execution); joins: broadcast-only
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_mi_contingency_single_agg(spark, specs):
