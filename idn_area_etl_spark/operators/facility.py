@@ -41,7 +41,16 @@ def facility_location_select(
 
     Returns (step, selected_id, objective) — objective is the
     facility-location value AFTER adding that element (rounded 6dp).
+    If ``k`` exceeds the number of input vectors, selection stops once
+    every vector is selected.  ``id_col`` must be numeric (ids are
+    collected driver-side per greedy round).
     """
+    id_type = dict(emb.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"facility_location_select requires a numeric id column; "
+            f"{id_col!r} is {id_type}"
+        )
     v = emb.select(
         F.col(id_col).alias("vid"),
         as_double_vec(F.col(vec_col)).alias("vec"),
@@ -90,6 +99,8 @@ def facility_location_select(
         else:
             gain = sims.groupBy("j").agg(F.sum("sim").alias("gain"))
         best = gain.orderBy(F.desc("gain"), "j").first()
+        if best is None:  # k exceeds the number of vectors
+            break
         selected.append(best["j"])
         obj = (
             sims.filter(F.col("j").isin(selected))

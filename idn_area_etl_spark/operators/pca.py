@@ -28,7 +28,13 @@ def top_principal_component(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Returns one row per dimension: (d, mean_d, component_d) plus
-    the explained-variance ratio replicated on every row."""
+    the explained-variance ratio replicated on every row.
+
+    ``n_iter`` must be >= 1 (the eigenvalue estimate comes from the
+    final iteration).
+    """
+    if n_iter < 1:
+        raise ValueError("top_principal_component requires n_iter >= 1")
     dims = emb.select(
         F.posexplode(F.col(vec_col)).alias("d", "x")
     ).select("d", F.col("x").cast("double").alias("x"))
@@ -57,10 +63,15 @@ def top_principal_component(
     # id BEFORE the explode — a generator in the same select would
     # evaluate monotonically_increasing_id per OUTPUT row and shred
     # the vectors
+    # localCheckpoint (not cache) pins the generated row ids: cached
+    # partitions can be evicted and silently recomputed with different
+    # monotonically_increasing_id values mid-iteration, while a
+    # checkpoint materializes the rows once (a lost partition fails
+    # loudly instead of corrupting the iteration)
     with_id = emb.select(
         F.monotonically_increasing_id().alias("rid"),
         F.col(vec_col).alias("_v"),
-    ).select(
+    ).localCheckpoint().select(
         "rid", F.posexplode(F.col("_v")).alias("d", "x")
     ).join(
         F.broadcast(
@@ -70,7 +81,7 @@ def top_principal_component(
         ),
         "d",
     ).select("rid", "d", (F.col("x") - F.col("mu")).alias("xc"))
-    with_id.cache()
+    with_id = with_id.localCheckpoint()
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(n_iter):
         vdf = F.broadcast(
@@ -103,7 +114,6 @@ def top_principal_component(
         .agg((F.sum("x2") / n_rows).alias("tv"))
         .collect()[0]["tv"]
     )
-    with_id.unpersist()
     # sign convention: first nonzero coordinate positive
     sign = 1.0
     for x in v:

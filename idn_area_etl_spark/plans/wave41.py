@@ -149,40 +149,66 @@ CORESET_K = 5
 def s_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center selection of CORESET_K embeddings: seed at
     vec_id 0; each round adds the point with max distance to the
-    selected set (ties → smaller vec_id)."""
+    selected set (ties → smaller vec_id).
+
+    Scale shape: greedy k-center is inherently sequential in k (one
+    driver-side ``limit(1).collect()`` per round, like BPE's merge
+    loop), but each round is ONE distributed pass that compares the
+    candidate set against only the round's NEW center (broadcast,
+    1 row) and folds it into the running ``min_d`` — the standard
+    incremental formulation.  Total work is O(k·n) distance evals with
+    no growing ``isin`` literal and no re-scan of prior centers;
+    ``localCheckpoint`` truncates the per-round lineage.
+    """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-    )
-    selected = [0]
-    rounds = []
-    for rnd in range(1, CORESET_K):
-        sel_df = F.broadcast(
-            emb.filter(F.col("vec_id").isin(selected)).select(
-                F.col("vec_id").alias("sid"), F.col("vec").alias("svec")
-            )
-        )
-        dist = F.sqrt(
+    ).localCheckpoint()
+
+    def dist_to(center_vec: str) -> F.Column:
+        return F.sqrt(
             F.aggregate(
-                F.zip_with("vec", "svec", lambda a, b: (a - b) * (a - b)),
+                F.zip_with("vec", center_vec, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, d: acc + d,
             )
         )
-        min_dist = (
-            emb.join(sel_df, F.col("vec_id") != F.col("sid"))
-            .filter(~F.col("vec_id").isin(selected))
-            .select("vec_id", F.round(dist, 9).alias("d"))
-            .groupBy("vec_id")
-            .agg(F.min("d").alias("min_d"))
+
+    def center_of(vid: int):
+        return F.broadcast(
+            emb.filter(F.col("vec_id") == vid).select(
+                F.col("vec").alias("svec")
+            )
         )
+
+    # round 0 seed; candidates carry min distance to the selected set
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(center_of(0))
+        .select("vec_id", "vec", F.round(dist_to("svec"), 9).alias("min_d"))
+        .localCheckpoint()
+    )
+    rounds = []
+    for rnd in range(1, CORESET_K):
         top = (
-            min_dist.orderBy(F.col("min_d").desc(), "vec_id")
+            cand.orderBy(F.col("min_d").desc(), "vec_id")
             .limit(1)
             .collect()[0]
         )
-        selected.append(top["vec_id"])
         rounds.append((rnd, top["vec_id"], top["min_d"]))
+        if rnd < CORESET_K - 1:
+            cand = (
+                cand.filter(F.col("vec_id") != top["vec_id"])
+                .crossJoin(center_of(top["vec_id"]))
+                .select(
+                    "vec_id",
+                    "vec",
+                    F.least(
+                        F.col("min_d"), F.round(dist_to("svec"), 9)
+                    ).alias("min_d"),
+                )
+                .localCheckpoint()
+            )
     return spark.createDataFrame(
         [(0, 0, 0.0)] + rounds,
         "round int, vec_id long, coverage_radius double",

@@ -174,7 +174,9 @@ def a_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c11").cast("double"),
     )
     n = a_ + b_ + c_ + d_
-    num = F.abs(a_ * d_ - b_ * c_) - n / 2.0
+    # Yates continuity correction clamps at 0: when |ad-bc| < n/2 the
+    # corrected statistic is 0, not the square of a negative number
+    num = F.greatest(F.abs(a_ * d_ - b_ * c_) - n / 2.0, F.lit(0.0))
     chi = n * num * num / (
         (a_ + b_) * (c_ + d_) * (a_ + c_) * (b_ + d_)
     )
@@ -216,18 +218,18 @@ SELECT CAST(c00 AS BIGINT) AS ctl_below,
   CAST(c10 AS BIGINT) AS trt_below,
   CAST(c11 AS BIGINT) AS trt_above,
   ROUND((CAST(c00 AS DOUBLE) + c01 + c10 + c11)
-    * (ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
-       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0)
-    * (ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
-       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0)
+    * GREATEST(ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
+       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0, 0.0)
+    * GREATEST(ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
+       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0, 0.0)
     / ((CAST(c00 AS DOUBLE) + c01) * (CAST(c10 AS DOUBLE) + c11)
        * (CAST(c00 AS DOUBLE) + c10) * (CAST(c01 AS DOUBLE) + c11)),
     6) AS chi2_cc,
   ((CAST(c00 AS DOUBLE) + c01 + c10 + c11)
-    * (ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
-       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0)
-    * (ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
-       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0)
+    * GREATEST(ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
+       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0, 0.0)
+    * GREATEST(ABS(CAST(c00 AS DOUBLE) * c11 - CAST(c01 AS DOUBLE) * c10)
+       - (CAST(c00 AS DOUBLE) + c01 + c10 + c11) / 2.0, 0.0)
     / ((CAST(c00 AS DOUBLE) + c01) * (CAST(c10 AS DOUBLE) + c11)
        * (CAST(c00 AS DOUBLE) + c10) * (CAST(c01 AS DOUBLE) + c11))
    > 3.841459) AS reject_equal_medians
