@@ -482,43 +482,60 @@ def simhash_signatures(
 
     Each bit is the sign of the sum of ±1 votes from xxhash64(token)
     bits; near-duplicate texts land within a few bits of Hamming
-    distance.  Native expression: one xxhash per token, then a 64-way
-    bit fold.
+    distance.
+
+    Execution shape: explode the token hashes and compute the 64 bit
+    votes as plain ``sum`` aggregates (bit b votes +1 iff
+    ``2*count(bit set) > count(tokens)``).  Plain sums stay inside
+    whole-stage codegen with map-side partial aggregation — since every
+    doc's tokens come from one input row, the aggregation COMPLETES
+    map-side and the exchange carries one finished 64-counter row per
+    doc (~0.5 KB).  The previous formulation folded a 64-way
+    higher-order ``aggregate`` lambda per document; HOF lambdas are
+    interpreted (no codegen), which measured ~20x slower at 50k docs
+    (tools/stress.py).  The packed int64 ``sig`` is what pair
+    comparisons use: hamming = bit_count(a ^ b), one ALU op per pair.
     """
     tokens = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    # One bit array (0/1 longs), from which the display string, hex and
-    # the packed int64 signature all derive.  The packed long is what
-    # pair comparisons use: hamming = bit_count(a ^ b), one ALU op per
-    # pair instead of a 64-char string zip.
-    bit_arr = F.expr(
-        """
-        transform(sequence(63, 0, -1), b ->
-          CASE WHEN aggregate(_thash, 0L, (acc, h) ->
-            acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)
-          ) > 0 THEN 1L ELSE 0L END)
-        """
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(tokens, lambda t: F.xxhash64(t))
+        ).alias("_h"),
     )
-    packed = F.expr(
-        "aggregate(_bit_arr, 0L, (acc, x) -> shiftleft(acc, 1) | x)"
+    # explode_outer keeps empty/null-text docs as a single null-hash
+    # row; count("_h") ignores nulls so their n_tok is 0 and every bit
+    # votes 0, matching the fold semantics (empty sum is not > 0).
+    counts = tok.groupBy("doc_id").agg(
+        F.count("_h").alias("_n_tok"),
+        *[
+            F.coalesce(
+                F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))),
+                F.lit(0),
+            ).alias(f"_c{b}")
+            for b in range(64)
+        ],
     )
-    bits = F.expr(
-        "array_join(transform(_bit_arr, x -> cast(x AS STRING)), '')"
-    )
+    # bit b (MSB-first) is 1 iff set-votes outnumber clear-votes:
+    # sum(±1) = 2*c_b - n_tok > 0
+    packed = None
+    for b in range(63, -1, -1):
+        term = F.shiftleft(
+            (F.lit(2) * F.col(f"_c{b}") > F.col("_n_tok"))
+            .cast("long"),
+            b,
+        )
+        packed = term if packed is None else packed.bitwiseOR(term)
+    bits = F.lpad(F.bin("sig"), 64, "0")
     return (
-        docs.select(
-            "doc_id",
-            F.transform(tokens, lambda t: F.xxhash64(t)).alias("_thash"),
-        )
-        .select("doc_id", bit_arr.alias("_bit_arr"))
+        counts.select("doc_id", packed.alias("sig"))
+        .select("doc_id", bits.alias("bits"), "sig")
         .select(
-            "doc_id",
-            bits.alias("bits"),
-            packed.alias("sig"),
+            "doc_id", "bits", F.conv("bits", 2, 16).alias("simhash"), "sig"
         )
-        .select("doc_id", "bits", F.conv("bits", 2, 16).alias("simhash"), "sig")
     )
 
 

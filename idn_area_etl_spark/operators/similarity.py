@@ -56,13 +56,32 @@ def cosine_topk(
     corpus: DataFrame,
     k: int = 3,
     vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rnk).  The query side is
     broadcast (it is the small side by construction); ranking windows
     partition by query so the shuffle is on query_id only.
+
+    This is the EXACT baseline — cost is O(|corpus| * |queries|) by
+    design, so misuse with a large query set must fail loudly rather
+    than melt the cluster: ``max_query_rows`` caps the broadcast side
+    (checked with a cheap limit+count on the query side only; pass
+    ``None`` to skip when the caller has already bounded it).  For
+    large query sets use :func:`lsh_ann_topk` or
+    :func:`~idn_area_etl_spark.operators.ivf.ivf_ann_topk`.
     """
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"cosine_topk query side exceeds max_query_rows="
+                f"{max_query_rows}; this operator broadcasts the query "
+                "side and is O(corpus x queries) — use lsh_ann_topk / "
+                "ivf_ann_topk for large query sets, or raise the cap "
+                "explicitly"
+            )
     q = _with_vec_and_norm(queries, "query_id", vec_col)
     c = _with_vec_and_norm(corpus, "neighbor_id", vec_col)
     cos = F.round(

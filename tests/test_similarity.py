@@ -51,6 +51,15 @@ def test_cosine_topk_exact_ranking(spark, emb):
     assert abs(out[1]["cosine"] - round(expected_1, 6)) < 1e-9
 
 
+def test_cosine_topk_rejects_oversized_query_side(spark, emb):
+    # the exact baseline broadcasts the query side; a large query set
+    # must fail loudly, not silently become an O(C*Q) melt
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk(emb, emb, k=1, max_query_rows=3)
+    # None disables the probe for callers that already bounded it
+    assert cosine_topk(emb, emb, k=1, max_query_rows=None).count() > 0
+
+
 def test_near_dup_pairs_blocked_by_label(spark, emb):
     pairs = near_dup_pairs(emb, top_k=5).collect()
     # (0,1) same label cos≈0.994 must rank first; (0,5) is cross-label

@@ -1,0 +1,152 @@
+"""Scale-stress harness: empirical scaling curves for the dedup / ANN /
+text paths on synthetic corpora 10-100x the driver test data.
+
+The correctness gate runs at sf0.01 (~500 docs); this harness answers
+the other question the brief asks — "would the plan survive a 100x
+scale-up?" — by generating corpora of N and 10N documents PURELY with
+Catalyst expressions (spark.range + hash arithmetic; no Python in the
+data path, no files written) and timing each scale-path operator at
+both sizes.  An operator whose candidate generation is truly
+equi-join-bounded shows near-linear wall-clock growth; anything
+quadratic shows up immediately as a >>10x jump.
+
+Usage:
+    python tools/stress.py [base_n] [factor]     # default 100_000 10
+
+Prints one JSON line per (op, n) measurement plus a final summary line
+with the growth exponent log(t_big/t_small)/log(factor) per op
+(1.0 = perfectly linear; sub-linear happens when fixed overheads
+dominate).  Results are recorded in SCALE.md §"Measured scaling".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from idn_area_etl_spark.session import get_spark  # noqa: E402
+from idn_area_etl_spark.operators import dedup, ivf, similarity, text  # noqa: E402
+
+VOCAB = 2_000  # distinct synthetic words
+DIM = 32       # embedding dimensionality
+
+
+def synth_docs(spark, n: int) -> DataFrame:
+    """N base docs of 30-80 synthetic words + 5% planted near-dups.
+
+    Words are hash-derived (`w<h>`), so shingle statistics look like
+    real text (Zipf-ish collisions at VOCAB words); every 20th doc gets
+    a near-identical twin (one word appended) so the fuzzy paths have
+    true positives to find.
+    """
+    words = F.transform(
+        F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(51)) + F.lit(30)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * F.lit(1009) + i), F.lit(VOCAB)),
+        ),
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    twins = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(n)).alias("doc_id"),
+            F.concat("text", F.lit(" wextra")).alias("text"),
+        )
+    )
+    return base.unionByName(twins).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+
+
+def synth_embeddings(spark, n: int) -> DataFrame:
+    """N unit-scale vectors from hash arithmetic + 2% planted near-dups."""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id") * F.lit(7919) + i), F.lit(2001))
+            - F.lit(1000)
+        ).cast("double")
+        / F.lit(1000.0),
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 16).cast("string").alias("label"),
+        vec.alias("embedding"),
+    )
+    twins = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+def run_noop(df: DataFrame) -> float:
+    start = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    spark = get_spark(app_name="stress")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    ops: dict[str, object] = {
+        "exact_dedup": lambda d, e: dedup.exact_dedup_groups(d),
+        "minhash_verified": lambda d, e: dedup.minhash_verified_pairs(d),
+        "simhash_pairs": lambda d, e: dedup.simhash_near_pairs(d),
+        "token_stats": lambda d, e: text.token_stats(d),
+        "lang_scores": lambda d, e: text.lang_scores(d),
+        "lsh_ann": lambda d, e: similarity.lsh_ann_topk(
+            e.limit(64), e, k=3, dim=DIM
+        ),
+        # NOT measured: near_dup_pairs / ngram_jaccard_pairs — blocked
+        # all-pairs kernels are quadratic within a block BY DESIGN
+        # (exact verification kernels); their scale story is "run them
+        # on LSH candidates", which minhash_verified measures.
+    }
+
+    timings: dict[str, dict[int, float]] = {k: {} for k in ops}
+    for n in (base_n, base_n * factor):
+        docs = synth_docs(spark, n)
+        emb = synth_embeddings(spark, n)
+        for name, build in ops.items():
+            df = build(docs, emb)
+            best = float("inf")
+            for _ in range(2):
+                best = min(best, run_noop(df))
+            timings[name][n] = round(best, 3)
+            print(
+                json.dumps(
+                    {"op": name, "n": n, "sec": timings[name][n]}
+                ),
+                flush=True,
+            )
+
+    import math
+
+    summary = {
+        name: round(
+            math.log(t[base_n * factor] / t[base_n]) / math.log(factor), 2
+        )
+        for name, t in timings.items()
+    }
+    print(json.dumps({"growth_exponent": summary, "factor": factor}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
