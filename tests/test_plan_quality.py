@@ -27,6 +27,18 @@ def specs():
     return all_specs()
 
 
+@pytest.fixture(scope="module")
+def all_plans(spark, specs):
+    """Executed-plan string for EVERY registered spec, built once and
+    shared by the repo-wide sweep tests below (each plan build costs
+    ~0.1 s; three sweeps re-building 350+ plans each tripled the
+    suite's planning time for no information)."""
+    return {
+        name: plan_of(spec.builder(spark, SF_DIR))
+        for name, spec in specs.items()
+    }
+
+
 # --------------------------------------------------------------------------
 # No registered query may plan a cartesian product.  (Broadcast
 # nested-loop against a deliberately-broadcast tiny side is allowed —
@@ -74,10 +86,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
 }
 
 
-def test_no_unbounded_single_partition_window(spark, specs):
+def test_no_unbounded_single_partition_window(spark, all_plans):
     offenders = {}
-    for name, spec in specs.items():
-        plan = plan_of(spec.builder(spark, SF_DIR))
+    for name, plan in all_plans.items():
         lines = plan.splitlines()
         bad = []
         for i, line in enumerate(lines):
@@ -95,13 +106,46 @@ def test_no_unbounded_single_partition_window(spark, specs):
     )
 
 
-def test_no_cartesian_product_anywhere(spark, specs):
-    offenders = []
-    for name, spec in specs.items():
-        plan = plan_of(spec.builder(spark, SF_DIR))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+def test_no_cartesian_product_anywhere(spark, all_plans):
+    offenders = [n for n, plan in all_plans.items() if "CartesianProduct" in plan]
     assert offenders == []
+
+
+# --------------------------------------------------------------------------
+# Repo-wide Python-eval sweep.  Row-at-a-time Python UDFs
+# (BatchEvalPython) are banned from EVERY registered plan — the hot
+# path stays inside whole-stage codegen.  Arrow-vectorized Pandas UDFs
+# (ArrowEvalPython) are the sanctioned slow path and may appear only in
+# the specs that genuinely need Python semantics (Unicode NFC
+# normalization via unicodedata, and the multimodal codec plumbing).
+# --------------------------------------------------------------------------
+
+ARROW_EVAL_OK = {
+    "d_unicode_nfc",          # unicodedata.normalize — no Catalyst equivalent
+    "mm_frame_sample",        # multimodal mapInPandas codec plumbing
+    "mm_audio_windows",
+    "e_isotonic_calibration",  # PAVA is inherently sequential per group
+}
+
+_PY_EVAL = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def test_no_row_at_a_time_python_anywhere(all_plans):
+    offenders = [n for n, plan in all_plans.items() if "BatchEvalPython" in plan]
+    assert offenders == [], (
+        f"row-at-a-time Python UDF in registered plans: {offenders}"
+    )
+
+
+def test_arrow_eval_only_where_sanctioned(all_plans):
+    offenders = [
+        n
+        for n, plan in all_plans.items()
+        if any(tag in plan for tag in _PY_EVAL) and n not in ARROW_EVAL_OK
+    ]
+    assert offenders == [], (
+        f"unsanctioned Pandas-UDF path in registered plans: {offenders}"
+    )
 
 
 # --------------------------------------------------------------------------
