@@ -6,15 +6,25 @@ k-means centroids, assign every corpus vector to its nearest centroid
 nearest lists.  Candidate generation is an equi-join on centroid id —
 at 100 TB each list is a shuffle partition, never a cross product.
 
-The k-means here is a deterministic Lloyd iteration written purely in
-DataFrame operators (driver loop = iteration count only; all data
-movement is posexplode + groupBy mean):
+The k-means here is a deterministic Lloyd iteration with MLlib-style
+state placement: the BIG side (vectors) stays distributed, the TINY
+side (k centroids, k·dim doubles) lives on the driver between rounds
+and re-enters each round as a literal LocalRelation.  Threading the
+centroids through the loop as DataFrame lineage instead would double
+the plan every iteration (centroids appear twice in the
+empty-cluster-keep join) — measured as a 6.5 MB physical plan with
+4088 broadcast exchanges for k=8/iters=2 before this rewrite
+(tools/explain_audit.py).  With driver-side state every round's plan
+is constant-size: scan + broadcast of a k-row literal.
 
-- init: the k lowest vec_ids (deterministic; callers can pass better
-  seeds);
-- assign: broadcast centroids, argmin squared distance;
+- init: deterministic farthest-point seeding (or the k lowest ids);
+- assign: broadcast literal centroids, argmin squared distance as a
+  ``min_by`` hash aggregate — the broadcast join leaves each vector's
+  k candidate rows co-partitioned, so the partial agg COMPLETES
+  map-side and the exchange carries one finished row per vector (the
+  previous window-argmin shuffled all k·N rows, then sorted);
 - update: per-(cluster, dimension) mean via posexplode — one shuffle
-  keyed (cluster, dim), k·dim rows out.
+  keyed (cluster, dim), k·dim rows collected to the driver.
 """
 
 from __future__ import annotations
@@ -39,17 +49,28 @@ def assign_clusters(
     """Attach the nearest centroid id to every vector.
 
     ``vectors``: (id, _vec array<double>); ``centroids``:
-    (cluster_id, centroid array<double>).  Broadcast join + window
-    argmin with deterministic cluster_id tiebreak.
+    (cluster_id, centroid array<double>).  Broadcast join, then argmin
+    as a ``min_by`` hash aggregate with deterministic cluster_id
+    tiebreak — partial aggregation completes map-side (all k candidate
+    rows of a vector sit in one partition after the broadcast join),
+    so the exchange carries one row per vector instead of k.
     """
+    carried = [c for c in vectors.columns if c != id_col]
     joined = vectors.crossJoin(F.broadcast(centroids))
     d = _sq_dist(F.col("_vec"), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_dist"), F.col("cluster_id"))
+    best = F.min_by(
+        F.struct(*[F.col(c) for c in carried], F.col("cluster_id")),
+        F.struct(F.col("_dist"), F.col("cluster_id")),
+    )
     return (
         joined.withColumn("_dist", d)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_dist", "centroid")
+        .groupBy(id_col)
+        .agg(best.alias("_best"))
+        .select(
+            id_col,
+            *[F.col(f"_best.{c}").alias(c) for c in carried],
+            F.col("_best.cluster_id").alias("cluster_id"),
+        )
     )
 
 
@@ -70,66 +91,69 @@ def kmeans_fit(
     small codebooks, e.g. product quantization, where Lloyd rounds
     recover the spread).
     """
+    spark = emb.sparkSession
     vectors = emb.select(
         F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("_vec")
     )
+
+    def literal_centroids(centers: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            schema="cluster_id int, centroid array<double>",
+        )
+
+    # ---- init: chosen seeds as driver-side (vec_id, vector) pairs ----
     if init == "first":
-        chosen = vectors.orderBy("vec_id").limit(k).select("vec_id", "_vec")
+        chosen = [
+            (r["vec_id"], list(r["_vec"]))
+            for r in vectors.orderBy("vec_id").limit(k).collect()
+        ]
     else:
         # deterministic farthest-point init (kmeans++-lite): seed with
         # the lowest id, then repeatedly take the vector maximizing the
-        # min distance to the chosen set (ties broken by vec_id)
-        chosen = vectors.orderBy("vec_id").limit(1).select("vec_id", "_vec")
+        # min distance to the chosen set (ties broken by vec_id).  The
+        # chosen set re-enters each round as a literal — k driver
+        # rounds, each a constant-size plan.
+        first = vectors.orderBy("vec_id").limit(1).collect()[0]
+        chosen = [(first["vec_id"], list(first["_vec"]))]
         for _ in range(k - 1):
-            mind = (
-                vectors.crossJoin(
-                    F.broadcast(chosen.select(F.col("_vec").alias("_cvec")))
-                )
-                .withColumn("_d", _sq_dist(F.col("_vec"), F.col("_cvec")))
-                .groupBy("vec_id")
-                .agg(F.min("_d").alias("_mind"))
+            cvecs = spark.createDataFrame(
+                [(v,) for _, v in chosen], schema="_cvec array<double>"
             )
             nxt = (
-                vectors.join(mind, "vec_id")
+                vectors.crossJoin(F.broadcast(cvecs))
+                .withColumn("_d", _sq_dist(F.col("_vec"), F.col("_cvec")))
+                .groupBy("vec_id")
+                .agg(F.min("_d").alias("_mind"), F.first("_vec").alias("_vec"))
                 .orderBy(F.desc("_mind"), F.col("vec_id"))
                 .limit(1)
-                .select("vec_id", "_vec")
+                .collect()[0]
             )
-            chosen = chosen.unionByName(nxt)
-    centroids = (
-        chosen.withColumn(
-            "cluster_id", F.row_number().over(Window.orderBy("vec_id")) - 1
-        )
-        .select("cluster_id", F.col("_vec").alias("centroid"))
-    )
+            chosen.append((nxt["vec_id"], list(nxt["_vec"])))
+    # cluster ids are assigned by ascending seed vec_id (stable under
+    # any selection order), matching the documented determinism
+    centers = [v for _, v in sorted(chosen)]
+
+    # ---- Lloyd rounds: k·dim means collected per round ----
     for _ in range(iters):
-        assigned = assign_clusters(vectors, centroids)
+        assigned = assign_clusters(vectors, literal_centroids(centers))
         means = (
             assigned.select("cluster_id", F.posexplode("_vec").alias("dim", "v"))
             .groupBy("cluster_id", "dim")
             .agg(F.avg("v").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("dim"), F.col("m")))
-                    ),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
+            .collect()
         )
+        per_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
         # empty clusters keep their previous centroid
-        centroids = (
-            centroids.alias("old")
-            .join(means.alias("new"), "cluster_id", "left")
-            .select(
-                "cluster_id",
-                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
-                    "centroid"
-                ),
-            )
-        )
-    return centroids
+        centers = [
+            [per_cluster[i][d] for d in sorted(per_cluster[i])]
+            if i in per_cluster
+            else centers[i]
+            for i in range(len(centers))
+        ]
+    return literal_centroids(centers)
 
 
 def ivf_ann_topk(

@@ -405,12 +405,21 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     the surviving edge set.
 
     Bounded-iteration graph op in the style of
-    `operators/graph.py:pagerank` — the plan is static (rounds is a
-    compile-time constant), every round is one map-side-combinable
-    degree agg plus two semi joins on the endpoints.
+    `operators/graph.py:pagerank` — every round is one
+    map-side-combinable degree agg plus two semi joins on the
+    endpoints.  ``localCheckpoint`` truncates the per-round lineage:
+    each round references the surviving edge set three times (degree
+    agg reads it twice, the semi joins once more), so threading it
+    through as raw lineage triples the plan per round (3^rounds —
+    measured 1.3 MB of physical plan at rounds=3).
     """
     e = edges
     for _ in range(rounds):
+        # truncate the previous round's lineage at the START of the
+        # round, so each job plans exactly one round of joins over a
+        # checkpoint scan (and the returned plan keeps the last
+        # round's semi joins visible for the plan-shape gate)
+        e = e.localCheckpoint(eager=True)
         deg = (
             e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))
