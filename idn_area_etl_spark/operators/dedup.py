@@ -257,19 +257,27 @@ def minhash_signatures(
         token_shingles_expr(F.col(text_col), n),
         lambda s: F.pmod(F.xxhash64(s), p),
     )
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), p)
-
-    sig = F.array(
+    # Execution shape: explode the shingle hashes and take the
+    # num_hashes affine-permutation minima as plain ``min`` aggregates.
+    # Plain mins stay inside whole-stage codegen with map-side partial
+    # aggregation — each doc's shingles come from one input row, so the
+    # aggregation COMPLETES map-side and the exchange carries one
+    # finished num_hashes-column row per doc.  The previous formulation
+    # ran num_hashes higher-order transform+array_min lambdas per doc;
+    # HOF lambdas are interpreted (no codegen) — same pathology, same
+    # fix, and same measured ~order-of-magnitude win as
+    # simhash_signatures below.  explode_outer keeps empty/null-shingle
+    # docs as a single null-hash row; min over only-null is null,
+    # matching array_min on an empty/null array.
+    tok = docs.select("doc_id", F.explode_outer(hashed).alias("_h"))
+    mins = tok.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(F.col("_shingle_hashes"), _perm(a, b)))
-            for a, b in _MINHASH_PARAMS[:num_hashes]
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), p)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
         ]
     )
-    return (
-        docs.select("doc_id", hashed.alias("_shingle_hashes"))
-        .select("doc_id", sig.alias("signature"))
-    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return mins.select("doc_id", sig.alias("signature"))
 
 
 def minhash_candidates(
@@ -385,21 +393,9 @@ def minhash_verified_pairs(
         token_shingles_expr(F.col(text_col), n).alias("sh"),
     ).select("doc_id", "sh", F.size("sh").alias("nsh"))
 
-    p = F.lit(MINHASH_PRIME).cast("long")
-    hashed = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), p))
-
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), p)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh_hashes"), _perm(a, b)))
-            for a, b in _MINHASH_PARAMS[:num_hashes]
-        ]
-    )
-    sigs = sh.select("doc_id", hashed.alias("_sh_hashes")).select(
-        "doc_id", sig.alias("signature")
-    )
+    # shared codegen'd explode+min signature path (see
+    # minhash_signatures for the execution-shape rationale)
+    sigs = minhash_signatures(docs, num_hashes, n, text_col)
     band_entries = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
