@@ -280,6 +280,39 @@ def minhash_signatures(
     return mins.select("doc_id", sig.alias("signature"))
 
 
+def _band_entries_expr(bands: int, rows_per_band: int):
+    """Exploded ``(band_no, band_hash)`` structs over a ``signature``
+    array column.
+
+    ``band_hash`` is ``xxhash64(band_no, sig[i..i+r-1])`` taken directly
+    over the signature longs — two docs collide in a band iff their
+    band slices are equal (modulo the same 2^-64 hash-collision odds
+    the previous string-join formulation had).  ``bands`` is a Python
+    constant, so the struct array is built as plain column expressions
+    (whole-stage codegen) instead of a higher-order ``transform``
+    lambda over ``sequence`` (interpreted) — and hashing the longs
+    skips the per-band cast-to-string + array_join allocations.
+    """
+    sig = F.col("signature")
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bno).alias("band_no"),
+                    F.xxhash64(
+                        F.lit(bno),
+                        *[
+                            F.get(sig, bno * rows_per_band + j)
+                            for j in range(rows_per_band)
+                        ],
+                    ).alias("band_hash"),
+                )
+                for bno in range(bands)
+            ]
+        )
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     threshold: float = 0.3,
@@ -299,31 +332,9 @@ def minhash_candidates(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, text_col)
 
-    band_entries = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bno: F.struct(
-                bno.alias("band_no"),
-                F.xxhash64(
-                    bno,
-                    F.array_join(
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                bno * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    ),
-                ).alias("band_hash"),
-            ),
-        )
-    )
-    buckets = sigs.select("doc_id", band_entries.alias("band")).select(
-        "doc_id", "band.band_no", "band.band_hash"
-    )
+    buckets = sigs.select(
+        "doc_id", _band_entries_expr(bands, rows_per_band).alias("band")
+    ).select("doc_id", "band.band_no", "band.band_hash")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -396,31 +407,9 @@ def minhash_verified_pairs(
     # shared codegen'd explode+min signature path (see
     # minhash_signatures for the execution-shape rationale)
     sigs = minhash_signatures(docs, num_hashes, n, text_col)
-    band_entries = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bno: F.struct(
-                bno.alias("band_no"),
-                F.xxhash64(
-                    bno,
-                    F.array_join(
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                bno * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    ),
-                ).alias("band_hash"),
-            ),
-        )
-    )
-    buckets = sigs.select("doc_id", band_entries.alias("band")).select(
-        "doc_id", "band.band_no", "band.band_hash"
-    )
+    buckets = sigs.select(
+        "doc_id", _band_entries_expr(bands, rows_per_band).alias("band")
+    ).select("doc_id", "band.band_no", "band.band_hash")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -130,6 +130,19 @@ ARROW_EVAL_OK = {
 _PY_EVAL = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
 
+def test_no_exponential_plan_growth(all_plans):
+    """Iterative operators must truncate per-round lineage (driver-side
+    state or localCheckpoint).  Threading a tiny DataFrame through a
+    loop replicates the plan per round — kmeans_fit once planned
+    6.5 MB / 4088 broadcast exchanges, kcore_peel 1.3 MB.  The largest
+    legitimate static plan (e_ann_lsh's multi-table LSH union) is
+    ~120 KB; anything over 500 KB is a lineage leak, not a real plan."""
+    offenders = {
+        n: len(plan) for n, plan in all_plans.items() if len(plan) > 500_000
+    }
+    assert offenders == {}, f"plan-size blowup (lineage leak?): {offenders}"
+
+
 def test_no_row_at_a_time_python_anywhere(all_plans):
     offenders = [n for n, plan in all_plans.items() if "BatchEvalPython" in plan]
     assert offenders == [], (
