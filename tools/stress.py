@@ -30,7 +30,14 @@ sys.path.insert(0, ".")
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from idn_area_etl_spark.session import get_spark  # noqa: E402
-from idn_area_etl_spark.operators import dedup, ivf, similarity, text  # noqa: E402
+from idn_area_etl_spark.operators import (  # noqa: E402
+    dedup,
+    graph,
+    ivf,
+    joins,
+    similarity,
+    text,
+)
 
 VOCAB = 2_000  # distinct synthetic words
 DIM = 32       # embedding dimensionality
@@ -91,6 +98,36 @@ def synth_embeddings(spark, n: int) -> DataFrame:
     return base.unionByName(twins)
 
 
+def synth_events(spark, n: int) -> DataFrame:
+    """N left events + N/10 right events over n/50 keys, hash-derived
+    timestamps — the as-of join stress shape."""
+    left = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(max(n // 50, 1))).alias("k"),
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10_000_000)).alias("ts"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.range(n // 10).select(
+        F.pmod(F.xxhash64(F.col("id") * 31), F.lit(max(n // 50, 1))).alias("k"),
+        F.pmod(F.xxhash64(F.col("id") * 37), F.lit(10_000_000)).alias("ts"),
+        F.col("id").alias("payload"),
+    ).groupBy("k", "ts").agg(F.min("payload").alias("payload"))
+    return left, right
+
+
+def synth_edges(spark, n: int) -> DataFrame:
+    """Sparse graph: n nodes, ~1.5n hash-derived edges (mostly short
+    chains + random chords) — the connected-components stress shape."""
+    a = spark.range(n).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n).alias("dst"),
+    ).filter(F.pmod(F.xxhash64("src"), F.lit(10)) < 7)
+    b = spark.range(n // 2).select(
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") * 13 + 7), F.lit(n)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return a.unionByName(b)
+
+
 def run_noop(df: DataFrame) -> float:
     start = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -113,6 +150,17 @@ def main() -> None:
         "lsh_ann": lambda d, e: similarity.lsh_ann_topk(
             e.limit(64), e, k=3, dim=DIM
         ),
+        "winnow_pairs": lambda d, e: dedup.winnow_substring_pairs(d),
+        "prefix_jaccard": lambda d, e: dedup.prefix_jaccard_join(d),
+        "ivf_fit_search": lambda d, e: ivf.ivf_ann_topk(
+            e.limit(64), e, ivf.kmeans_fit(e, k=8, iters=2), k=3
+        ),
+        "asof_join": lambda l, r: joins.asof_join(
+            l, r, "k", "ts", "ts", ["payload"]
+        ),
+        "connected_components": lambda edges, _: graph.connected_components(
+            edges, "src", "dst"
+        ),
         # NOT measured: near_dup_pairs / ngram_jaccard_pairs — blocked
         # all-pairs kernels are quadratic within a block BY DESIGN
         # (exact verification kernels); their scale story is "run them
@@ -123,11 +171,19 @@ def main() -> None:
     for n in (base_n, base_n * factor):
         docs = synth_docs(spark, n)
         emb = synth_embeddings(spark, n)
+        left, right = synth_events(spark, n)
+        edges = synth_edges(spark, n)
+        inputs = {
+            "asof_join": (left, right),
+            "connected_components": (edges, None),
+        }
         for name, build in ops.items():
-            df = build(docs, emb)
+            x, y = inputs.get(name, (docs, emb))
             best = float("inf")
             for _ in range(2):
-                best = min(best, run_noop(df))
+                # iterative ops (kmeans, CC) do driver-side work at
+                # build time; rebuild per run so it's included
+                best = min(best, run_noop(build(x, y)))
             timings[name][n] = round(best, 3)
             print(
                 json.dumps(
