@@ -100,3 +100,40 @@ def test_simhash_near_pairs(corpus):
     }
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs
+
+
+def test_token_shingles_edge_semantics(spark):
+    """The regex-scan shingle formulation must keep the documented edge
+    semantics: <n tokens → one whole-text shingle, whitespace-only →
+    [''], NULL text → [NULL], multi-whitespace collapsed, lowercased,
+    overlapping windows at every token start, duplicates dropped."""
+    from idn_area_etl_spark.operators.dedup import token_shingles_expr
+
+    rows = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "one two"),
+            (3, "single"),
+            (4, ""),
+            (5, None),
+            (6, "  Lots   of\tWEIRD\n\nwhitespace  here  "),
+            (7, "a b a b a b"),
+            (8, " \t\n "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.sh
+        for r in rows.select(
+            "doc_id",
+            F.array_sort(token_shingles_expr(F.col("text"), 3)).alias("sh"),
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d", "c d e"]
+    assert got[2] == ["one two"]
+    assert got[3] == ["single"]
+    assert got[4] == [""]
+    assert got[5] == [None]
+    assert got[6] == ["lots of weird", "of weird whitespace", "weird whitespace here"]
+    assert got[7] == ["a b a", "b a b"]
+    assert got[8] == [""]

@@ -125,6 +125,8 @@ ARROW_EVAL_OK = {
     "mm_frame_sample",        # multimodal mapInPandas codec plumbing
     "mm_audio_windows",
     "e_isotonic_calibration",  # PAVA is inherently sequential per group
+    "d_winnow_pairs",         # rolling k-gram hash — sequential per doc,
+                              # vectorized Arrow batch (winnow_fingerprint_rows)
 }
 
 _PY_EVAL = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
