@@ -411,9 +411,18 @@ def minhash_verified_pairs(
     pair id.
     """
     rows_per_band = num_hashes // bands
+    # Verification arrays are xxhash64'd longs, not shingle strings
+    # (same trade as _blocked_jaccard: exact up to 64-bit collisions,
+    # ~35% cheaper intersects) — and, load-bearing at scale: raw
+    # shingle text is so repetitive that AQE's compressed-size
+    # estimate can pick a broadcast whose deserialized form is GBs
+    # (observed with prefix_jaccard_join at 1M docs). Hashed longs
+    # compress ~1:1, so AQE's adaptive join choice stays trustworthy.
     sh = docs.select(
         "doc_id",
-        token_shingles_expr(F.col(text_col), n).alias("sh"),
+        F.transform(
+            token_shingles_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     ).select("doc_id", "sh", F.size("sh").alias("nsh"))
 
     # shared codegen'd explode+min signature path (see
@@ -622,21 +631,21 @@ def prefix_jaccard_join(
     Documents with fewer than ``n`` tokens have no n-gram shingles and
     are excluded (mirrors the SQL oracle's ``len >= n`` guard).
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != F.lit(""),
+    # Token-count guard first (docs with < n tokens have no n-gram
+    # shingles and are excluded, mirroring the oracle's len >= n), then
+    # the shared regex-scan shingler — for >= n-token docs its
+    # whole-text fallback never fires, so it emits exactly the n-gram
+    # windows.  The previous inline transform/slice/array_join lambdas
+    # were interpreted per position (~0.8 ms/doc); this path took the
+    # 100k-doc stress run from 77 s to the join-bound cost.
+    n_tokens = F.size(
+        F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"\S+"), 0)
     )
     tok = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= n)
+        docs.filter(n_tokens >= n)
         .select(
             "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice("toks", i, n), " "),
-                )
-            ).alias("sh"),
+            token_shingles_expr(F.col(text_col), n).alias("sh"),
         )
         .select("doc_id", "sh", F.size("sh").alias("nsh"))
     )
@@ -646,10 +655,19 @@ def prefix_jaccard_join(
     # formulation ranked the whole vocabulary through one unpartitioned
     # row_number window and broadcast it (both explode at 100 TB); the
     # pigeonhole argument only needs a consistent total order, and
-    # (df, s) already is one.  dfreq joins back via a plain shuffle
-    # equi-join on the shingle (AQE may broadcast it when small), and
-    # the only window left is per-document.
-    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # (df, s) already is one.  dfreq joins back via a sort-merge
+    # equi-join on the shingle, and the only window left is
+    # per-document.
+    #
+    # Every join side in this operator scales WITH THE CORPUS
+    # (vocabulary df, per-doc prefixes, full shingle arrays), so none
+    # is ever broadcast-safe — and shingle text is so repetitive that
+    # AQE's compressed-shuffle size estimate can sit under the
+    # broadcast threshold while the deserialized table is GBs (seen
+    # at 1M synthetic docs: a "64 MB" side whose broadcast collect
+    # blew spark.driver.maxResultSize).  The merge hints pin every
+    # join to sort-merge.
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df")).hint("merge")
     # prefix length L = |S| - ceil(tau*|S|) + 1, in exact integers
     ceil_tau_n = F.floor(
         (F.lit(tau_num) * F.col("nsh") + F.lit(tau_den - 1)) / F.lit(tau_den)
@@ -665,7 +683,7 @@ def prefix_jaccard_join(
         .filter(F.col("pos") <= F.col("nsh") - ceil_tau_n + F.lit(1))
         .select("doc_id", "nsh", "s")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    a, b = prefix.hint("merge").alias("a"), prefix.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -688,12 +706,12 @@ def prefix_jaccard_join(
         F.col("doc_id").alias("doc1"),
         F.col("sh").alias("sh1"),
         F.col("nsh").alias("n1"),
-    )
+    ).hint("merge")
     tb = tok.select(
         F.col("doc_id").alias("doc2"),
         F.col("sh").alias("sh2"),
         F.col("nsh").alias("n2"),
-    )
+    ).hint("merge")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     return (
         cand.join(ta, "doc1")

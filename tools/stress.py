@@ -137,6 +137,9 @@ def run_noop(df: DataFrame) -> float:
 def main() -> None:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # optional comma-separated op filter (3rd arg) so a long tier can
+    # be finished in pieces: python tools/stress.py 100000 10 prefix_jaccard
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     spark = get_spark(app_name="stress")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -168,7 +171,7 @@ def main() -> None:
     }
 
     timings: dict[str, dict[int, float]] = {k: {} for k in ops}
-    for n in (base_n, base_n * factor):
+    for n in dict.fromkeys((base_n, base_n * factor)):
         docs = synth_docs(spark, n)
         emb = synth_embeddings(spark, n)
         left, right = synth_events(spark, n)
@@ -178,12 +181,16 @@ def main() -> None:
             "connected_components": (edges, None),
         }
         for name, build in ops.items():
+            if only is not None and name not in only:
+                continue
             x, y = inputs.get(name, (docs, emb))
             best = float("inf")
             for _ in range(2):
                 # iterative ops (kmeans, CC) do driver-side work at
-                # build time; rebuild per run so it's included
-                best = min(best, run_noop(build(x, y)))
+                # build time; time build + sink together so it counts
+                start = time.perf_counter()
+                build(x, y).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
             timings[name][n] = round(best, 3)
             print(
                 json.dumps(
@@ -199,6 +206,7 @@ def main() -> None:
             math.log(t[base_n * factor] / t[base_n]) / math.log(factor), 2
         )
         for name, t in timings.items()
+        if factor > 1 and base_n in t and base_n * factor in t
     }
     print(json.dumps({"growth_exponent": summary, "factor": factor}))
     spark.stop()
