@@ -59,12 +59,25 @@ def token_shingles_expr(text: Column, n: int = 3) -> Column:
     (one shingle), whitespace-only to ``''``, NULL text to ``[NULL]``
     — exactly the old semantics.
     """
-    norm = F.trim(F.lower(F.regexp_replace(text, r"\s+", " ")))
-    pat = r"(?=(" + " ".join([r"\S+"] * n) + r"))\S+ ?"
-    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    grams = token_ngrams_expr(text, n)
+    norm = _norm_text_expr(text)
     return F.array_distinct(
         F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
     )
+
+
+def _norm_text_expr(text: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text (the shingle
+    normalization)."""
+    return F.trim(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def token_ngrams_expr(text: Column, n: int = 3) -> Column:
+    """ALL positional word n-grams (duplicates kept, one per token
+    start) via the same single-regex-scan shape as
+    :func:`token_shingles_expr`; empty for texts with < n tokens."""
+    pat = r"(?=(" + " ".join([r"\S+"] * n) + r"))\S+ ?"
+    return F.regexp_extract_all(_norm_text_expr(text), F.lit(pat), 1)
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:

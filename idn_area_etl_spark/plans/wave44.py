@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.dedup import prefix_jaccard_join
+from idn_area_etl_spark.operators.dedup import (
+    prefix_jaccard_join,
+    token_shingles_expr,
+)
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -186,18 +189,14 @@ def d_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a doc's distinct shingles seen in 2+ docs, and the count of
     docs where that fraction exceeds one half."""
     docs = load_table(spark, sf_dir, "documents")
+    # shared regex-scan shingler (>=8-token filter means its
+    # whole-text fallback never fires → exactly the 8-gram windows)
     tok = (
-        docs.select("doc_id", "lang", _ws_tokens(F.col("text")).alias("ws"))
-        .filter(F.size("ws") >= 8)
+        docs.filter(F.size(_ws_tokens(F.col("text"))) >= 8)
         .select(
             "doc_id",
             "lang",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - F.lit(7)),
-                    lambda i: F.array_join(F.slice("ws", i, 8), " "),
-                )
-            ).alias("sh"),
+            token_shingles_expr(F.col("text"), 8).alias("sh"),
         )
     )
     ex = tok.select("doc_id", "lang", F.explode("sh").alias("s"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import token_ngrams_expr
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.plans.wave32 import _score_expr, _score_sql
 from idn_area_etl_spark.sources.tables import load_table
@@ -108,22 +109,15 @@ ORDER BY dau.day
 def d_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-vs-total word n-gram ratio per language, n = 1..3."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
-    base = docs.select("lang", toks.alias("ws"))
     parts = []
     for n in (1, 2, 3):
-        grams = base.filter(F.size("ws") >= n).select(
+        # shared regex-scan n-grams (duplicates kept); empty array for
+        # <n-token docs, so explode drops them — same rows as the old
+        # size(ws)>=n filter + positional transform
+        grams = docs.select(
             "lang",
             F.lit(n).alias("n"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice("ws", i, n), " "),
-                )
-            ).alias("g"),
+            F.explode(token_ngrams_expr(F.col("text"), n)).alias("g"),
         )
         parts.append(grams)
     allg = parts[0].unionByName(parts[1]).unionByName(parts[2])

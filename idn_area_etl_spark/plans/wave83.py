@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import token_shingles_expr
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -61,20 +62,16 @@ def s_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         "lang",
+        "text",
         (u < 0.1).alias("is_test"),
         toks.alias("ws"),
     )
+    # shared regex-scan shingler; >=8-token filter keeps its
+    # whole-text fallback from ever firing
     sh = base.filter(F.size("ws") >= 8).select(
         "doc_id",
         "is_test",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - F.lit(7)),
-                    lambda i: F.array_join(F.slice("ws", i, 8), " "),
-                )
-            )
-        ).alias("s"),
+        F.explode(token_shingles_expr(F.col("text"), 8)).alias("s"),
     )
     test_shingles = sh.filter(F.col("is_test")).select("s").distinct()
     contaminated = (

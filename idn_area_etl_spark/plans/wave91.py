@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import token_shingles_expr
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -246,19 +247,14 @@ def d_test_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t != F.lit(""),
     )
     base = docs.select(
-        "lang", (u < 0.1).alias("is_test"), toks.alias("ws")
+        "lang", "text", (u < 0.1).alias("is_test"), toks.alias("ws")
     ).filter(F.size("ws") >= 2)
+    # shared regex-scan shingler; >=2-token filter keeps its
+    # whole-text fallback from ever firing
     grams = base.select(
         "lang",
         "is_test",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - F.lit(1)),
-                    lambda i: F.array_join(F.slice("ws", i, 2), " "),
-                )
-            )
-        ).alias("g"),
+        F.explode(token_shingles_expr(F.col("text"), 2)).alias("g"),
     )
     test_g = grams.filter(F.col("is_test")).select("lang", "g").distinct()
     train_g = (
