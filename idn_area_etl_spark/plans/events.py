@@ -5,6 +5,13 @@ The reference's chunk loop is a bounded micro-batch stream
 tumbling windows, sessionization, first-seen state, JSON props — as
 deterministic batch plans (the Structured Streaming variants live in
 idn_area_etl_spark/streaming/).
+
+``value`` sums use the fixed-point scaled-long form (see
+``plans/tpch.py:fp_dsum`` for the full rationale): event values are
+non-negative 2-dp money-typed doubles, so ``(v*1e6 + 0.5)::long``
+round-half-up is exact, skips the per-row BigDecimal cast, and the
+``decimal(38,0)`` accumulation is order-independent and
+overflow-safe — value-identical to the DuckDB decimal oracles.
 """
 
 from __future__ import annotations
@@ -33,7 +40,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("total_value"),
+            (F.sum(((F.col("value") * 1_000_000) + F.lit(0.5)).cast("long").cast("decimal(38,0)")) / 1_000_000).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("hour_start", "event_type")
@@ -76,7 +83,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("session_value"),
+            (F.sum(((F.col("value") * 1_000_000) + F.lit(0.5)).cast("long").cast("decimal(38,0)")) / 1_000_000).cast("double").alias("session_value"),
         )
         .orderBy("user_id", "session_no")
     )
@@ -174,8 +181,14 @@ def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(24,6)"))
-        .over(w)
+        (
+            F.sum(
+                ((F.col("value") * 1_000_000) + F.lit(0.5))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).over(w)
+            / 1_000_000
+        )
         .cast("double")
         .alias("running_value"),
     ).orderBy("user_id", "ts", "event_id")
