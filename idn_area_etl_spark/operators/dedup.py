@@ -31,6 +31,23 @@ _MINHASH_PARAMS = [
 ]
 
 
+def _stage(df: DataFrame) -> DataFrame:
+    """Materialize an intermediate stage once (lazy local checkpoint)
+    so multiple downstream consumers read stored blocks instead of
+    re-running the expensive lineage (regex shingle scans, Python
+    fingerprint passes).  Serialized storage: sketch rows carry long
+    arrays, and deserialized Java object caching at millions of rows
+    is GC-hostile; Tungsten-serialized blocks are ~4× smaller.  This
+    is the same stage separation a 100 TB pipeline gets by writing the
+    sketch stage to a table between jobs; lazy, so plan building stays
+    action-free."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def shingles_expr(text: Column, n: int = 3) -> Column:
     """Distinct character n-gram shingles of a string column."""
     positions = F.sequence(F.lit(1), F.length(text) - F.lit(n - 1))
@@ -170,7 +187,13 @@ def winnow_substring_pairs(
     from idn_area_etl_spark.operators.text import winnow_fingerprint_rows
 
     # vectorized Arrow fingerprint stage — value-identical to
-    # explode(winnow_fingerprints_expr(...)), ~100x cheaper per doc
+    # explode(winnow_fingerprints_expr(...)), ~100x cheaper per doc.
+    # Deliberately NOT checkpointed (unlike the sketch stages below):
+    # the two join sides shuffle by fp with identical subplans, so
+    # exchange reuse already shares the Python pass between them, and
+    # measured 1M-doc stress shows materializing the (doc_id, fp) rows
+    # costs more than the one extra pass the df-agg branch pays
+    # (70.7 s → 98.0 s with a checkpoint here).
     fps = winnow_fingerprint_rows(docs, k, w, text_col)
     rare = (
         fps.groupBy("fp")
@@ -253,6 +276,8 @@ def _blocked_jaccard(docs: DataFrame, n: int, text_col: str) -> DataFrame:
             token_shingles_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
         ).alias("shingles"),
     )
+    # materialize the shingle stage once — both self-join sides read it
+    sh = _stage(sh)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     uni = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
@@ -355,7 +380,11 @@ def minhash_candidates(
     signatures estimate similarity.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, text_col)
+    # Materialize the signature stage once (lazy local checkpoint):
+    # four consumers (bucket sides a/b, signature sides sa/sb) would
+    # otherwise each re-run the regex-shingle scan — see
+    # minhash_verified_pairs for the full rationale.
+    sigs = _stage(minhash_signatures(docs, num_hashes, n, text_col))
 
     buckets = sigs.select(
         "doc_id", _band_entries_expr(bands, rows_per_band).alias("band")
@@ -424,6 +453,17 @@ def minhash_verified_pairs(
     pair id.
     """
     rows_per_band = num_hashes // bands
+    # Single corpus pass: one regex-shingle scan + explode feeds ONE
+    # aggregate producing BOTH the num_hashes signature minima and the
+    # exact-verify hash set per doc.  All four downstream consumers
+    # (bucket sides a/b, verify sides ta/tb) read the same groupBy —
+    # their Exchange subtrees are identical, so Spark's ReuseExchange
+    # rule runs the scan + shuffle once instead of the three regex
+    # scans (signature, ta, tb) the previous formulation paid.  The
+    # aggregate still completes map-side (each doc's shingles come
+    # from one input row); downstream joins on doc_a/doc_b inherit the
+    # doc_id hash partitioning, so no re-shuffle of the arrays.
+    #
     # Verification arrays are xxhash64'd longs, not shingle strings
     # (same trade as _blocked_jaccard: exact up to 64-bit collisions,
     # ~35% cheaper intersects) — and, load-bearing at scale: raw
@@ -431,16 +471,41 @@ def minhash_verified_pairs(
     # estimate can pick a broadcast whose deserialized form is GBs
     # (observed with prefix_jaccard_join at 1M docs). Hashed longs
     # compress ~1:1, so AQE's adaptive join choice stays trustworthy.
-    sh = docs.select(
+    # collect_set drops duplicates/nulls: shingle arrays are already
+    # distinct and xxhash64 never returns NULL, and array_intersect /
+    # size are order-insensitive, so set semantics are exact here.
+    p = F.lit(MINHASH_PRIME).cast("long")
+    exploded = docs.select(
         "doc_id",
-        F.transform(
-            token_shingles_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    ).select("doc_id", "sh", F.size("sh").alias("nsh"))
-
-    # shared codegen'd explode+min signature path (see
-    # minhash_signatures for the execution-shape rationale)
-    sigs = minhash_signatures(docs, num_hashes, n, text_col)
+        F.explode_outer(
+            F.transform(
+                token_shingles_expr(F.col(text_col), n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_h"),
+    )
+    per_doc = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.pmod(F.col("_h"), p) * F.lit(a) + F.lit(b), p)
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
+        ],
+        F.collect_set("_h").alias("sh"),
+    )
+    # Stage separation: materialize the per-doc sketch (64 sig longs +
+    # hashed shingle set — tiny next to the text) once and let all four
+    # consumers read the stored blocks.  Without it, Catalyst prunes
+    # each branch differently (buckets keep mins, verify keeps sh), the
+    # canonical subplans diverge, and with broadcast joins the probe
+    # sides stream the un-reused aggregate — four full regex-shingle
+    # scans of the corpus.  This is the same move a 100 TB pipeline
+    # makes by writing the signature stage to a table between jobs;
+    # lazy so plan-building stays action-free.
+    per_doc = _stage(per_doc)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    sigs = per_doc.select("doc_id", sig.alias("signature"))
+    sh = per_doc.select("doc_id", "sh", F.size("sh").alias("nsh"))
     buckets = sigs.select(
         "doc_id", _band_entries_expr(bands, rows_per_band).alias("band")
     ).select("doc_id", "band.band_no", "band.band_hash")
@@ -567,7 +632,10 @@ def simhash_near_pairs(
     64 bits must agree exactly on ≥ 1 of 4 quarters — pigeonhole), so
     candidates come from 4 equi-joins, not a cross product.
     """
-    sigs = simhash_signatures(docs, text_col)
+    # Materialize signatures once (lazy local checkpoint): both join
+    # sides would otherwise re-run the explode+sum signature scan —
+    # see minhash_verified_pairs for the stage-sharing rationale.
+    sigs = _stage(simhash_signatures(docs, text_col))
     # 16-bit quarters of the packed signature (shift + mask — no string
     # manipulation in the blocking key either)
     quarters = sigs.select(
@@ -654,6 +722,10 @@ def prefix_jaccard_join(
     n_tokens = F.size(
         F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"\S+"), 0)
     )
+    # Materialized once (lazy local checkpoint): tok feeds the df agg,
+    # the prefix build, and both verify sides — without stage sharing
+    # each consumer re-runs the regex-shingle scan (see
+    # minhash_verified_pairs for the rationale).
     tok = (
         docs.filter(n_tokens >= n)
         .select(
@@ -662,6 +734,7 @@ def prefix_jaccard_join(
         )
         .select("doc_id", "sh", F.size("sh").alias("nsh"))
     )
+    tok = _stage(tok)
     ex = tok.select("doc_id", "nsh", F.explode("sh").alias("s"))
     # Rare-first ordering comes from the (document-frequency, shingle)
     # pair directly — no global integer rank is materialized.  The old
@@ -696,6 +769,9 @@ def prefix_jaccard_join(
         .filter(F.col("pos") <= F.col("nsh") - ceil_tau_n + F.lit(1))
         .select("doc_id", "nsh", "s")
     )
+    # both candidate-join sides read the prefix stage; materialize it
+    # once instead of re-running the df join + per-doc window
+    prefix = _stage(prefix)
     a, b = prefix.hint("merge").alias("a"), prefix.hint("merge").alias("b")
     cand = (
         a.join(
