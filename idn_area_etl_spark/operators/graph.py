@@ -71,28 +71,31 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # prev rides along so convergence is a filter-count over the
+        # round's checkpointed blocks — no extra join job per round.
         cand = labels.join(
             neighbor_min.select(F.col("a").alias("node"), "nbr_label"), "node", "left"
         ).select(
             "node",
+            F.col("label").alias("prev"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
+        # Materialize once: both the pointer table and the jump's probe
+        # side read `cand`; without this the neighbor-min join + agg
+        # runs twice per round (lazy checkpoint — one job per round,
+        # the eager one below drives it).
+        cand = cand.localCheckpoint(eager=False)
         # Pointer jumping: follow one indirection. Labels are always
         # node ids present in `cand`, so the left join always hits;
         # coalesce only guards the type checker's view of it.
         ptr = cand.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
         jumped = (
             cand.join(ptr, cand["label"] == ptr["p_node"], "left")
-            .select("node", F.coalesce("p_label", "label").alias("label"))
+            .select("node", "prev", F.coalesce("p_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.select("node", F.col("label").alias("new_label"))
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("prev") != F.col("label")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
 
@@ -137,7 +140,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree table is static across rounds — materialize it once
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
