@@ -46,12 +46,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         builder = specs[name].builder
-        # three executions; report steady state (C2 JIT of generated
+        # five executions; report steady state (C2 JIT of generated
         # whole-stage code makes the first run of higher-order
-        # expressions 2-10x slower, and the second can still be
-        # mid-compile)
+        # expressions 2-10x slower, the second can still be
+        # mid-compile, and measured best-of-3 swings +-20% run to run)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             df = builder(spark, sf_dir)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
