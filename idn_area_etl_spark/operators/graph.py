@@ -52,52 +52,54 @@ def connected_components(
     """
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    # The edge list is reused every round: materialize it once.
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    # Self-loops folded into the (static, reused-every-round) edge
+    # table: the hash-min join then produces min(own label, neighbor
+    # labels) directly — no separate labels-vs-neighbor_min join per
+    # round.  Materialize once.
+    sym = sym.union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
     sym = sym.localCheckpoint(eager=True)
 
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        nodes.select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # Labels only ever decrease, so the exact (decimal — no long
+    # overflow at any scale) sum of labels strictly decreases until
+    # the fixpoint: convergence is one cheap agg on the round's
+    # checkpointed blocks, no prev-label join or column.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
 
     for _ in range(max_iter):
-        neighbor_min = (
+        cand = (
             sym.join(
                 labels.select(F.col("node").alias("b_node"), "label"),
                 F.col("b") == F.col("b_node"),
             )
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # prev rides along so convergence is a filter-count over the
-        # round's checkpointed blocks — no extra join job per round.
-        cand = labels.join(
-            neighbor_min.select(F.col("a").alias("node"), "nbr_label"), "node", "left"
-        ).select(
-            "node",
-            F.col("label").alias("prev"),
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
         # Materialize once: both the pointer table and the jump's probe
-        # side read `cand`; without this the neighbor-min join + agg
-        # runs twice per round (lazy checkpoint — one job per round,
-        # the eager one below drives it).
+        # side read `cand`; without this the hash-min join + agg runs
+        # twice per round (lazy checkpoint — one job per round, the
+        # eager one below drives it).
         cand = cand.localCheckpoint(eager=False)
         # Pointer jumping: follow one indirection. Labels are always
         # node ids present in `cand`, so the left join always hits;
         # coalesce only guards the type checker's view of it.
         ptr = cand.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
-        jumped = (
+        labels = (
             cand.join(ptr, cand["label"] == ptr["p_node"], "left")
-            .select("node", "prev", F.coalesce("p_label", "label").alias("label"))
+            .select("node", F.coalesce("p_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = jumped.filter(F.col("prev") != F.col("label")).count()
-        labels = jumped.select("node", "label")
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.select("node", F.col("label").alias("component"))
 
