@@ -99,6 +99,39 @@ def test_cc_partition_invariant(spark):
     assert m1 == m2
 
 
+def test_cc_random_graph_matches_union_find(spark):
+    """Property check against a driver-side union-find reference: on a
+    seeded random graph the distributed fixpoint must label every node
+    with its component's minimum id."""
+    import random
+
+    rng = random.Random(20260815)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(180)
+    ]
+
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    touched = {u for e in edges for u in e}
+    comp_min: dict[int, int] = {}
+    for v in touched:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in touched}
+
+    got = _cc_map(spark, edges)
+    assert got == expected
+
+
 def test_dedup_clusters_group_planted_duplicates(spark, sf_dir):
     """Every cluster has exactly one representative (its min doc_id)
     and ≥2 members — these are near-dup groups, not singletons."""
