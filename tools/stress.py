@@ -134,6 +134,21 @@ def run_noop(df: DataFrame) -> float:
     return time.perf_counter() - start
 
 
+def drop_persisted_blocks(spark) -> None:
+    """Unpersist every cached/checkpointed RDD between ops.
+
+    The sketch-stage lazy localCheckpoints (`operators/dedup.py:_stage`)
+    and the iterative ops' checkpoints live until the session ends; in
+    a combined run they pile up in storage memory and inflate later
+    ops' timings 1.5-2x vs a dedicated run (measured: winnow_pairs 1M
+    40.1 s combined vs 21.8 s dedicated before this hook).
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+
+
 def main() -> None:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -184,6 +199,7 @@ def main() -> None:
             if only is not None and name not in only:
                 continue
             x, y = inputs.get(name, (docs, emb))
+            drop_persisted_blocks(spark)
             best = float("inf")
             for _ in range(2):
                 # iterative ops (kmeans, CC) do driver-side work at
