@@ -273,22 +273,26 @@ ORDER BY a.user_id
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar quartile columns (not array<double>): the driver's oracle
+    # canonicalizer hashes cells with pandas, which cannot hash lists.
     orders = load_table(spark, sf_dir, "orders")
-    pct = F.expr(
-        "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)),"
-        " x -> round(x, 6))"
-    )
+    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
     return (
         orders.groupBy("o_orderpriority")
-        .agg(pct.alias("price_quartiles"))
+        .agg(
+            F.round(pct[0], 6).alias("p25"),
+            F.round(pct[1], 6).alias("p50"),
+            F.round(pct[2], 6).alias("p75"),
+        )
         .orderBy("o_orderpriority")
     )
 
 
 Q_PERCENTILES_SQL = """
 SELECT o_orderpriority,
-  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                 x -> round(x, 6)) AS price_quartiles
+  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+  round(quantile_cont(o_totalprice, 0.75), 6) AS p75
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

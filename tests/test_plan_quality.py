@@ -28,15 +28,21 @@ def specs():
 
 
 @pytest.fixture(scope="module")
-def all_plans(spark, specs):
-    """Executed-plan string for EVERY registered spec, built once and
-    shared by the repo-wide sweep tests below (each plan build costs
-    ~0.1 s; three sweeps re-building 350+ plans each tripled the
+def all_built(spark, specs):
+    """(schema, executed-plan string) for EVERY registered spec, built
+    once and shared by the repo-wide sweep tests below (each plan build
+    costs ~0.1 s; sweeps re-building 350+ plans each tripled the
     suite's planning time for no information)."""
-    return {
-        name: plan_of(spec.builder(spark, SF_DIR))
-        for name, spec in specs.items()
-    }
+    out = {}
+    for name, spec in specs.items():
+        df = spec.builder(spark, SF_DIR)
+        out[name] = (df.schema, plan_of(df))
+    return out
+
+
+@pytest.fixture(scope="module")
+def all_plans(all_built):
+    return {name: plan for name, (_, plan) in all_built.items()}
 
 
 # --------------------------------------------------------------------------
@@ -104,6 +110,24 @@ def test_no_unbounded_single_partition_window(spark, all_plans):
         "single-partition window over data-dependent cardinality; use "
         f"operators/ranks.py primitives: {offenders}"
     )
+
+
+def test_oracle_specs_emit_hashable_columns(specs, all_built):
+    """No oracle-checked spec may emit a top-level array/map/struct
+    column: the driver's correctness harness canonicalizes results with
+    a pandas sort, which cannot hash list/dict cells (the r2
+    q_percentiles failure class)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in specs.items():
+        if spec.oracle is None:
+            continue
+        schema, _ = all_built[name]
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert offenders == []
 
 
 def test_no_cartesian_product_anywhere(spark, all_plans):
