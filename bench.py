@@ -46,10 +46,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         builder = specs[name].builder
-        # five executions; report steady state (C2 JIT of generated
-        # whole-stage code makes the first run of higher-order
-        # expressions 2-10x slower, the second can still be
-        # mid-compile, and measured best-of-3 swings +-20% run to run)
+        # two untimed warmups, then best-of-5: C2 JIT of generated
+        # whole-stage code makes the first 1-2 runs of a query shape
+        # 2-10x slower, so timing from cold makes a query's reported
+        # number depend on its POSITION in the bench order (r1->r2
+        # "regressions" of q_events_* were exactly this — steady state
+        # was unchanged at 10 in-process iterations)
+        for _ in range(2):
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(5):
             df = builder(spark, sf_dir)
