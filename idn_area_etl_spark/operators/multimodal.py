@@ -2,11 +2,14 @@
 
 Images/audio/video are carried as ``binary`` columns with typed
 metadata structs.  The Spark-side plumbing — schemas, Arrow-batched
-``mapInPandas`` decode stage, partition sizing — is real and tested;
-the actual codec is stubbed (this container ships no image/audio
-libraries): :func:`decode_payloads` raises ``NotImplementedError``
-unless ``fake=True``, which substitutes a deterministic fake decoder
-so the pipeline shape is exercisable end-to-end.
+``mapInPandas`` decode stage, partition sizing — is real and tested,
+and so is the decode itself for the formats expressible in pure
+stdlib: :func:`decode_payloads` runs the struct-based WAV (RIFF PCM)
+and BMP (24 bpp) parsers from
+:mod:`idn_area_etl_spark.functions.codecs` per Arrow batch.
+Compressed formats (PNG/JPEG/MP4) are *sniffed* and reported with a
+``decode_error`` — their libraries are not in this container — and
+would slot into the same batch loop once present.
 
 Scale notes: decode is the textbook Pandas-UDF case — per-row Python
 cost dominates, so Arrow batching (``spark.sql.execution.arrow...``)
@@ -23,6 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from idn_area_etl_spark.functions.codecs import (
+    parse_bmp,
+    parse_wav,
+    sniff_media_type,
+)
+
 #: schema of the decoded-media metadata struct
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -32,6 +41,10 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -48,50 +61,86 @@ def binary_metadata(blobs: DataFrame, payload_col: str = "payload") -> DataFrame
     )
 
 
-def _fake_decode(pdf: pd.DataFrame, payload_col: str) -> pd.DataFrame:
-    """Deterministic FAKE decode: derives plausible metadata purely
-    from payload bytes (stand-in for PIL/ffmpeg, which are not in the
-    container).  Clearly fake — do not ship decisions based on it."""
-    payloads = pdf[payload_col]
-    n_bytes = payloads.map(len)
-    head = payloads.map(lambda b: b[:4].hex() if len(b) >= 4 else "")
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int64"),
-            "media_type": head.map(
-                lambda h: "image/png" if h.startswith("89") else "application/octet-stream"
-            ),
-            "width": (n_bytes % 1920).astype("int32"),
-            "height": (n_bytes % 1080).astype("int32"),
-            "n_frames": pd.Series([1] * len(pdf), index=pdf.index, dtype="int32"),
-        }
-    )
+def _decode_one(payload: bytes) -> dict:
+    """Decode a single payload to metadata fields; never raises —
+    malformed or codec-less payloads report ``decode_error``."""
+    media_type = sniff_media_type(payload)
+    out = {
+        "media_type": media_type,
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "n_channels": None,
+        "bits_per_sample": None,
+        "decode_error": None,
+    }
+    try:
+        if media_type == "audio/wav":
+            meta = parse_wav(payload)
+            out.update(
+                n_frames=meta["n_frames"],
+                sample_rate=meta["sample_rate"],
+                n_channels=meta["n_channels"],
+                bits_per_sample=meta["bits_per_sample"],
+            )
+        elif media_type == "image/bmp":
+            meta = parse_bmp(payload)
+            out.update(
+                width=meta["width"],
+                height=meta["height"],
+                n_frames=1,
+                bits_per_sample=meta["bits_per_pixel"],
+            )
+        else:
+            out["decode_error"] = f"no codec for {media_type}"
+    except ValueError as exc:
+        out["decode_error"] = str(exc)
+    return out
 
 
 def decode_payloads(
     blobs: DataFrame,
     payload_col: str = "payload",
-    fake: bool = False,
 ) -> DataFrame:
     """Arrow-batched decode stage over a binary column via mapInPandas.
 
-    With real codecs this is where PIL/ffmpeg would run per batch;
-    here the codec is STUBBED: ``fake=False`` raises
-    ``NotImplementedError`` (no image/audio libs in this container),
-    ``fake=True`` runs the deterministic fake decoder so schema,
-    batching, and partitioning are exercised for real.
+    WAV and BMP payloads are decoded for real (pure-stdlib ``struct``
+    parsers — see ``functions/codecs.py``); PNG/JPEG are sniffed and
+    reported with ``decode_error`` (their codecs are not in this
+    container); malformed payloads get the parser's error message
+    instead of failing the job.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio codecs not present "
-                    "in this environment; pass fake=True for the "
-                    "deterministic stub decoder"
-                )
-            yield _fake_decode(pdf, payload_col)
+            metas = [_decode_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "media_type": [m["media_type"] for m in metas],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [m["n_frames"] for m in metas], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [m["n_channels"] for m in metas], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [m["bits_per_sample"] for m in metas], dtype="Int32"
+                    ),
+                    "decode_error": [m["decode_error"] for m in metas],
+                }
+            )
 
     return blobs.select("doc_id", payload_col).mapInPandas(
         run, schema=MEDIA_META_SCHEMA
@@ -146,41 +195,68 @@ def chunk_binary(
 def frame_sample(
     blobs: DataFrame,
     n_samples: int = 4,
+    window_ms: int = 40,
     payload_col: str = "payload",
-    fake: bool = False,
 ) -> DataFrame:
-    """Evenly-spaced frame sampling from video-ish payloads: one input
-    row fans out to ``n_samples`` frame rows (doc_id, frame_no, ts_ms,
-    frame digest) — the table-function shape of a real ffmpeg sampler.
+    """Evenly-spaced frame sampling from media payloads: one input
+    row fans out to up to ``n_samples`` frame rows (doc_id, frame_no,
+    ts_ms, frame digest) — the table-function shape of an ffmpeg
+    sampler, running the REAL stdlib codecs:
 
-    The codec is STUBBED like :func:`decode_payloads`: ``fake=False``
-    raises ``NotImplementedError``; ``fake=True`` derives a
-    deterministic frame count (1 + n_bytes % 240 at a notional 25 fps)
-    and per-frame digests from the payload bytes, so the Arrow
-    batching, 1→N expansion, and output schema are exercised for real.
+    - **WAV**: ``n_samples`` evenly-spaced ``window_ms`` PCM windows;
+      ``ts_ms`` is the true window start time, ``frame_md5`` digests
+      the window's PCM bytes.
+    - **BMP**: ``n_samples`` evenly-spaced horizontal pixel bands
+      (``ts_ms`` = 0); a 1-frame image degenerates gracefully.
+    - anything else (incl. malformed payloads): zero rows — decode
+      diagnostics belong to :func:`decode_payloads`.
     """
     import hashlib
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires video codecs not present in "
-                    "this environment; pass fake=True for the "
-                    "deterministic stub sampler"
+    def sample_one(doc_id, payload, out) -> None:
+        media_type = sniff_media_type(payload)
+        try:
+            if media_type == "audio/wav":
+                meta = parse_wav(payload)
+                pcm, ba = meta["pcm"], meta["block_align"]
+                win = max(
+                    ba, (meta["sample_rate"] * window_ms // 1000) * ba
                 )
-            out = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_md5": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                n_frames = 1 + len(payload) % 240
-                step = max(1, n_frames // n_samples)
-                for frame_no in range(0, n_frames, step)[:n_samples]:
-                    digest = hashlib.md5(
-                        payload + frame_no.to_bytes(4, "big")
-                    ).hexdigest()
+                starts = range(
+                    0, max(1, len(pcm) - win + 1), max(win, 1)
+                )
+                for frame_no, off in enumerate(list(starts)[:n_samples]):
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(frame_no)
-                    out["ts_ms"].append(frame_no * 40)
-                    out["frame_md5"].append(digest)
+                    out["ts_ms"].append(
+                        off // ba * 1000 // meta["sample_rate"]
+                    )
+                    out["frame_md5"].append(
+                        hashlib.md5(pcm[off : off + win]).hexdigest()
+                    )
+            elif media_type == "image/bmp":
+                meta = parse_bmp(payload)
+                w, h, px = meta["width"], meta["height"], meta["pixels"]
+                band = max(1, h // n_samples)
+                for frame_no, row in enumerate(
+                    list(range(0, h, band))[:n_samples]
+                ):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(frame_no)
+                    out["ts_ms"].append(0)
+                    out["frame_md5"].append(
+                        hashlib.md5(
+                            px[row * w * 3 : (row + band) * w * 3]
+                        ).hexdigest()
+                    )
+        except ValueError:
+            pass  # malformed media: no frames (decode_payloads reports)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                sample_one(doc_id, payload, out)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out["doc_id"], dtype="int64"),

@@ -194,6 +194,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Round-3 rotation: never driver-checked in r01 nor r02; all verified
     # green against the local oracle harness at sf0.01 before pinning.
     rotation = [
+        "mm_codec_roundtrip",
         "mm_image_tiles",
         "mm_audio_windows",
         "mm_doc_embedding_join",
@@ -222,7 +223,6 @@ def all_specs() -> dict[str, QuerySpec]:
         "s_dedup_keep_best",
         "s_decontaminate_split",
         "q_session_window_native",
-        "q_scd2_priority",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]

@@ -6,10 +6,18 @@
   whole-stage codegen end to end.  The oracle uses VARCHAR substring:
   for ASCII payloads char offsets equal byte offsets, and DuckDB md5
   hashes the same bytes.
+- **Codec round-trip** (`mm_codec_roundtrip`): REAL pure-stdlib
+  codecs — every document's UTF-8 bytes are encoded as a PCM WAV and
+  a 24 bpp BMP (struct writers, `functions/codecs.py`), decoded back
+  with the independent chunk-walking parsers inside the Arrow
+  ``mapInPandas`` decode stage, and PCM frames sampled with the real
+  sampler; all header fields + frame counts are oracle-pinned
+  algebraically from `octet_length(text)`.
 - **Frame sampling** (`operators/multimodal.py:frame_sample`): 1→N
-  Arrow-batched expansion with a stubbed codec (no ffmpeg in this
-  container) — rows-only driver check; determinism and shape pinned in
-  pytest.
+  Arrow-batched expansion running the real WAV codec over encoded
+  document audio — rows-only driver check (digests aren't
+  SQL-expressible); window digests pinned against local slices in
+  pytest, counts pinned by the `mm_codec_roundtrip` oracle.
 - **NFC normalization** (`operators/text.py:nfc_normalize_udf`): the
   deliberate pandas_udf showcase (no native Spark expression exists);
   oracle = DuckDB ``nfc_normalize`` (both sides implement UAX#15 —
@@ -22,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.multimodal import chunk_binary, frame_sample
+from collections.abc import Iterator
+
+import pandas as pd
+
+from idn_area_etl_spark.operators.multimodal import (
+    chunk_binary,
+    decode_payloads,
+    frame_sample,
+)
 from idn_area_etl_spark.operators.text import nfc_normalize_udf
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -60,13 +76,128 @@ ORDER BY doc_id, chunk_no
 """
 
 
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Stubbed codec (fake=True) → not SQL-expressible: rows-only check;
-    # determinism and schema pinned in test_plans_wave10.py.
-    blobs = _blobs(spark, sf_dir).filter(F.col("doc_id") < 50)
-    return frame_sample(blobs, n_samples=4, fake=True).orderBy(
-        "doc_id", "frame_no"
+WAV_BASE_RATE = 8000  # per-doc rate = 8000 + (doc_id % 3) * 4000
+BMP_WIDTH = 16
+
+
+def _encode_docs_as_media(docs: DataFrame) -> DataFrame:
+    """Arrow-batched encode stage: each document's UTF-8 bytes become
+    a real PCM WAV (16-bit mono, deterministic per-doc sample rate)
+    and a real 24 bpp BMP (16-px-wide raster, zero-padded final row)
+    via the stdlib codecs — the writer half of the decode round-trip.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from idn_area_etl_spark.functions.codecs import encode_bmp, encode_wav
+
+        for pdf in batches:
+            wavs, bmps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                pcm = raw[: len(raw) - (len(raw) % 2)]
+                rate = WAV_BASE_RATE + (int(doc_id) % 3) * 4000
+                wavs.append(encode_wav(pcm, rate))
+                h = max(1, -(-len(raw) // (BMP_WIDTH * 3)))
+                bmps.append(
+                    encode_bmp(
+                        BMP_WIDTH, h, raw.ljust(BMP_WIDTH * h * 3, b"\x00")
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "wav": wavs,
+                    "bmp": bmps,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode, schema="doc_id long, wav binary, bmp binary"
     )
+
+
+def mm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec round-trip, oracle-pinned: encode every document as
+    WAV + BMP (stdlib struct writers), decode both with the
+    independent chunk-walking parsers via the Arrow ``mapInPandas``
+    decode stage, sample PCM frames with the real frame sampler, and
+    emit per-doc header fields the DuckDB oracle recomputes
+    algebraically from the text's UTF-8 byte length alone."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _encode_docs_as_media(docs)
+    wav_meta = decode_payloads(
+        media.select("doc_id", F.col("wav").alias("payload"))
+    ).select(
+        "doc_id",
+        F.col("n_bytes").alias("wav_bytes"),
+        "sample_rate",
+        F.col("n_frames").alias("n_pcm_samples"),
+        "bits_per_sample",
+        F.col("decode_error").isNull().alias("wav_ok"),
+    )
+    bmp_meta = decode_payloads(
+        media.select("doc_id", F.col("bmp").alias("payload"))
+    ).select(
+        "doc_id",
+        F.col("n_bytes").alias("bmp_bytes"),
+        "width",
+        "height",
+        F.col("decode_error").isNull().alias("bmp_ok"),
+    )
+    sampled = (
+        frame_sample(
+            media.select("doc_id", F.col("wav").alias("payload")),
+            n_samples=4,
+            window_ms=40,
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_wav_frames"))
+    )
+    return (
+        wav_meta.join(bmp_meta, "doc_id")
+        .join(sampled, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+MM_CODEC_ROUNDTRIP_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+  FROM documents WHERE doc_id < 200
+), derived AS (
+  SELECT doc_id, nb,
+    nb - (nb % 2) AS pcm_len,
+    CAST({WAV_BASE_RATE} + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+    GREATEST(1, CAST(CEIL(nb / CAST({BMP_WIDTH} * 3 AS DOUBLE)) AS BIGINT))
+      AS height
+  FROM sized
+)
+SELECT doc_id,
+  44 + pcm_len AS wav_bytes,
+  sample_rate,
+  CAST(pcm_len / 2 AS INT) AS n_pcm_samples,
+  CAST(16 AS INT) AS bits_per_sample,
+  TRUE AS wav_ok,
+  54 + height * {BMP_WIDTH * 3} AS bmp_bytes,
+  CAST({BMP_WIDTH} AS INT) AS width,
+  CAST(height AS INT) AS height,
+  TRUE AS bmp_ok,
+  CAST(LEAST(4, GREATEST(1,
+    (pcm_len / 2) / ((sample_rate * 40) / 1000))) AS INT) AS n_wav_frames
+FROM derived ORDER BY doc_id
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real WAV frame sampling over encoded document audio; rows-only
+    # driver check (frame digests aren't SQL-expressible) — the frame
+    # COUNTS are oracle-pinned by mm_codec_roundtrip.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = _encode_docs_as_media(docs)
+    return frame_sample(
+        media.select("doc_id", F.col("wav").alias("payload")), n_samples=4
+    ).orderBy("doc_id", "frame_no")
 
 
 def d_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,8 +272,14 @@ SPECS = [
     QuerySpec("mm_audio_windows", mm_audio_windows, MM_AUDIO_WINDOWS_SQL,
               doc="native sliding byte windows over binary payloads",
               tags=("multimodal",)),
+    QuerySpec("mm_codec_roundtrip", mm_codec_roundtrip,
+              MM_CODEC_ROUNDTRIP_SQL,
+              doc="real WAV/BMP encode→decode round-trip, header fields "
+                  "oracle-pinned from UTF-8 byte lengths",
+              tags=("multimodal",)),
     QuerySpec("mm_frame_sample", mm_frame_sample, None,
-              doc="Arrow-batched 1→N frame sampling (stub codec, rows-only)",
+              doc="Arrow-batched 1→N PCM frame sampling (real WAV codec, "
+                  "rows-only; counts pinned by mm_codec_roundtrip)",
               tags=("multimodal",)),
     QuerySpec("d_unicode_nfc", d_unicode_nfc, D_UNICODE_NFC_SQL,
               doc="pandas_udf NFC normalization vs DuckDB nfc_normalize",

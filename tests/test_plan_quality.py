@@ -146,7 +146,8 @@ def test_no_cartesian_product_anywhere(spark, all_plans):
 
 ARROW_EVAL_OK = {
     "d_unicode_nfc",          # unicodedata.normalize — no Catalyst equivalent
-    "mm_frame_sample",        # multimodal mapInPandas codec plumbing
+    "mm_frame_sample",        # multimodal mapInPandas codec (real WAV sampler)
+    "mm_codec_roundtrip",     # stdlib WAV/BMP encode+decode round-trip
     "mm_audio_windows",
     "e_isotonic_calibration",  # PAVA is inherently sequential per group
     "d_winnow_pairs",         # rolling k-gram hash — sequential per doc,

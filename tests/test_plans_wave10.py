@@ -1,5 +1,5 @@
 """Tenth-wave tests: oracle parity at sf0.001, multimodal plumbing
-shape/determinism (the codec itself is stubbed), and real non-ASCII
+shape/determinism (real stdlib WAV/BMP codecs), and real non-ASCII
 NFC behavior the ASCII corpus can't exercise."""
 
 from __future__ import annotations
@@ -99,30 +99,59 @@ def test_chunk_binary_short_payload_single_window(spark):
 
 
 # --------------------------------------------------------------------------
-# frame_sample: stub determinism, fan-out shape, hard NotImplementedError
+# frame_sample: real WAV windowing — digests verified against a local
+# reimplementation; non-media payloads produce zero frames
 # --------------------------------------------------------------------------
 
 
-def test_frame_sample_deterministic_and_shaped(spark):
+def test_frame_sample_wav_windows_match_local_slices(spark):
+    from idn_area_etl_spark.functions.codecs import encode_wav
+
+    pcm1 = bytes(range(256)) * 10          # 2560 B = 1280 samples
+    pcm2 = (b"\x01\x02\x03\x04" * 50)      # 200 B: shorter than one window
+    rate = 8000                            # 40 ms window = 320 smp = 640 B
     blobs = spark.createDataFrame(
-        [(1, b"x" * 100), (2, b"y" * 300)], ["doc_id", "payload"]
+        [(1, encode_wav(pcm1, rate)), (2, encode_wav(pcm2, rate))],
+        ["doc_id", "payload"],
     )
-    a = sorted(map(tuple, frame_sample(blobs, n_samples=4, fake=True).collect()))
-    b = sorted(map(tuple, frame_sample(blobs, n_samples=4, fake=True).collect()))
-    assert a == b
-    assert frame_sample(blobs, n_samples=4, fake=True).schema == FRAME_SCHEMA
-    per_doc = {}
-    for row in a:
-        per_doc.setdefault(row[0], []).append(row)
-    for doc_id, frames in per_doc.items():
-        assert 1 <= len(frames) <= 4
-        assert all(ts == fn * 40 for _, fn, ts, _ in frames)
+    out = frame_sample(blobs, n_samples=4, window_ms=40)
+    assert out.schema == FRAME_SCHEMA
+    rows = sorted(map(tuple, out.collect()))
+
+    expected = []
+    for doc_id, pcm in ((1, pcm1), (2, pcm2)):
+        win = 640
+        starts = list(range(0, max(1, len(pcm) - win + 1), win))[:4]
+        for fn, off in enumerate(starts):
+            expected.append(
+                (
+                    doc_id,
+                    fn,
+                    off // 2 * 1000 // rate,
+                    hashlib.md5(pcm[off : off + win]).hexdigest(),
+                )
+            )
+    assert rows == sorted(expected)
 
 
-def test_frame_sample_real_codec_raises(spark):
-    blobs = spark.createDataFrame([(1, b"abc")], ["doc_id", "payload"])
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        frame_sample(blobs, fake=False).collect()
+def test_frame_sample_bmp_bands_and_nonmedia_skip(spark):
+    from idn_area_etl_spark.functions.codecs import encode_bmp
+
+    px = bytes(range(48)) * 8              # 16x8 raster
+    blobs = spark.createDataFrame(
+        [(1, encode_bmp(16, 8, px)), (2, b"not media"), (3, b"")],
+        ["doc_id", "payload"],
+    )
+    rows = frame_sample(blobs, n_samples=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1}              # non-media yields nothing
+    frames = sorted(by_doc[1], key=lambda r: r.frame_no)
+    assert len(frames) == 4                # 8 rows / band=2 → 4 bands
+    for fn, r in enumerate(frames):
+        band = px[fn * 2 * 48 : (fn + 1) * 2 * 48]
+        assert r.frame_md5 == hashlib.md5(band).hexdigest()
 
 
 # --------------------------------------------------------------------------
