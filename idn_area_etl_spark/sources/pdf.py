@@ -7,26 +7,33 @@ Mirrors the reference's ingest path (cli.py:146-177) Spark-first:
 2. The page manifest becomes a DataFrame repartitioned into chunks of
    ``chunk_size`` pages (S4) — the unit of executor work, replacing
    the reference's sequential chunk loop.
-3. ``mapInPandas`` parses each chunk's pages with camelot on the
-   executor (S1), emitting long-form raw rows tagged with
-   ``(page_no, table_no, row_no)`` lineage.
+3. ``mapInPandas`` parses each chunk's pages on the executor (S1),
+   emitting long-form raw rows tagged with ``(page_no, table_no,
+   row_no)`` lineage.
 
-camelot/pypdf are not installed in this container, so the parser
-import is gated: without them, :func:`pdf_to_raw_tables` raises a
-clear error and the rest of the engine is exercised through fabricated
-grids (exactly the reference's own test strategy, test_cli.py:92-106).
+The table parser is INJECTABLE: any callable ``(pdf_path, page_list)
+-> [(page_no, table_no, grid), ...]``.  Resolution order when none is
+passed: camelot if importable (the general-case parser, reference
+cli.py:175-177), else the pure-stdlib lattice transcriber
+(`sources/lattice.py`) which handles Ghostscript-flattened lattice
+PDFs — including the reference's own golden fixture — with zero
+dependencies.  Page-count probing falls back the same way
+(pypdf → stdlib /Kids scan).
 """
 
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from idn_area_etl_spark.sources.raw import RAW_TABLE_SCHEMA
+
+#: parser contract: (pdf_path, sorted page list) -> [(page_no, table_no,
+#: grid-of-cell-strings), ...]
+TableParser = Callable[[str, list[int]], list[tuple[int, int, list[list[str]]]]]
 
 PAGE_RANGE_PATTERN = re.compile(r"^(\d+(-\d+)?)(,(\d+(-\d+)?))*$")
 
@@ -50,15 +57,64 @@ def parse_page_range(page_range: str, total_pages: int) -> list[int]:
 
 
 def probe_page_count(pdf_path: str) -> int:
-    """Driver-side page-count probe (S2, cli.py:146-147)."""
+    """Driver-side page-count probe (S2, cli.py:146-147): pypdf when
+    installed, else the stdlib /Kids scan."""
     try:
         from pypdf import PdfReader  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover - env without pypdf
-        raise RuntimeError(
-            "pypdf is not installed in this environment; supply the page "
-            "count explicitly or ingest fabricated grids instead"
-        ) from exc
-    return len(PdfReader(pdf_path).pages)
+
+        return len(PdfReader(pdf_path).pages)
+    except ImportError:
+        from idn_area_etl_spark.sources.lattice import count_pages
+
+        return count_pages(pdf_path)
+
+
+def camelot_parser(
+    pdf_path: str, page_list: list[int]
+) -> list[tuple[int, int, list[list[str]]]]:
+    """General-case table parser: camelot lattice mode on the executor
+    (reference cli.py:175-177)."""
+    import camelot  # type: ignore[import-not-found]  # executor-side
+
+    tables = camelot.read_pdf(
+        pdf_path,
+        pages=",".join(map(str, page_list)),
+        flavor="lattice",
+    )
+    out: list[tuple[int, int, list[list[str]]]] = []
+    for t_no, table in enumerate(tables):
+        page_no = int(getattr(table, "page", page_list[0]))
+        grid = [
+            [str(c) for c in row]
+            for row in table.df.itertuples(index=False)
+        ]
+        out.append((page_no, t_no, grid))
+    return out
+
+
+def lattice_parser(
+    pdf_path: str, page_list: list[int]
+) -> list[tuple[int, int, list[list[str]]]]:
+    """Dependency-free fallback parser: the stdlib lattice transcriber
+    (`sources/lattice.py`), filtered to the chunk's pages."""
+    from idn_area_etl_spark.sources.lattice import transcribe
+
+    wanted = set(page_list)
+    return [
+        (page_no, table_no, grid)
+        for page_no, table_no, grid in transcribe(pdf_path)
+        if page_no in wanted
+    ]
+
+
+def default_parser() -> TableParser:
+    """camelot when importable, else the stdlib lattice parser."""
+    try:
+        import camelot  # type: ignore[import-not-found]  # noqa: F401
+
+        return camelot_parser
+    except ImportError:
+        return lattice_parser
 
 
 def page_manifest(
@@ -69,7 +125,7 @@ def page_manifest(
     """Page list → manifest DataFrame partitioned by chunk.
 
     Each partition holds ~one chunk of pages, the executor-side unit
-    of camelot work (the reference's ``--chunk-size`` micro-batch,
+    of parse work (the reference's ``--chunk-size`` micro-batch,
     cli.py:170-177).  At scale the manifest is tiny; parallelism comes
     from the number of chunks.
     """
@@ -86,43 +142,32 @@ def pdf_to_raw_tables(
     pdf_path: str,
     pages: list[int] | None = None,
     chunk_size: int = 3,
+    parser: TableParser | None = None,
 ) -> DataFrame:
     """PDF → long-form raw rows, parsed distributed on executors.
 
-    Requires camelot on the executors; raises a clear error otherwise
-    (this container does not ship it — tests use fabricated grids).
+    ``parser`` defaults to camelot when installed, else the stdlib
+    lattice transcriber; inject any :data:`TableParser` to use a
+    different engine (the parse stage itself — manifest chunking,
+    ``mapInPandas``, lineage tagging — is parser-agnostic).
     """
-    try:
-        import camelot  # type: ignore[import-not-found]  # noqa: F401
-    except ImportError as exc:
-        raise RuntimeError(
-            "camelot is not installed; PDF parsing is unavailable in this "
-            "environment — ingest fabricated grids via "
-            "sources.raw.raw_from_cell_grids instead"
-        ) from exc
-
+    if parser is None:
+        parser = default_parser()
     if pages is None:
         pages = list(range(1, probe_page_count(pdf_path) + 1))
     manifest = page_manifest(spark, pages, chunk_size)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import camelot  # local import: runs on executors
-
         for pdf_batch in batches:
-            rows: list[tuple[int, int, int, list[str]]] = []
             page_list = sorted(pdf_batch["page_no"].tolist())
             if not page_list:
                 continue
-            tables = camelot.read_pdf(
-                pdf_path,
-                pages=",".join(map(str, page_list)),
-                flavor="lattice",
-            )
-            for t_no, table in enumerate(tables):
-                frame = table.df
-                page_no = int(getattr(table, "page", page_list[0]))
-                for r_no, row in enumerate(frame.itertuples(index=False)):
-                    rows.append((page_no, t_no, r_no, [str(c) for c in row]))
+            rows: list[tuple[int, int, int, list[str]]] = []
+            for page_no, t_no, grid in parser(pdf_path, page_list):
+                for r_no, row in enumerate(grid):
+                    rows.append(
+                        (int(page_no), int(t_no), r_no, [str(c) for c in row])
+                    )
             yield pd.DataFrame(
                 rows, columns=["page_no", "table_no", "row_no", "cells"]
             )
