@@ -40,9 +40,30 @@ def _stage(df: DataFrame) -> DataFrame:
     is GC-hostile; Tungsten-serialized blocks are ~4× smaller.  This
     is the same stage separation a 100 TB pipeline gets by writing the
     sketch stage to a table between jobs; lazy, so plan building stays
-    action-free."""
+    action-free.
+
+    Trade-offs of the localCheckpoint default — deliberate, but real:
+    blocks are pinned with no unpersist (they live until RDD GC /
+    session end, so a long-lived session accumulates storage across
+    operator calls), and lineage is TRUNCATED, so losing an executor
+    (dynamic allocation, spot kills) makes downstream jobs fail
+    unrecoverably instead of recomputing.  Right for bounded batch
+    jobs; for long-lived sessions or preemptible clusters set
+
+        spark.conf.set("spark.idnareaetl.stageMaterialization", ...)
+
+    to ``persist`` (recomputable lineage kept, unpersistable) or
+    ``checkpoint`` (reliable checkpoint to ``sc.setCheckpointDir``'s
+    fault-tolerant storage)."""
     from pyspark.storagelevel import StorageLevel
 
+    mode = df.sparkSession.conf.get(
+        "spark.idnareaetl.stageMaterialization", "localCheckpoint"
+    )
+    if mode == "persist":
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    if mode == "checkpoint":
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )

@@ -66,22 +66,38 @@ def cosine_topk(
 
     This is the EXACT baseline — cost is O(|corpus| * |queries|) by
     design, so misuse with a large query set must fail loudly rather
-    than melt the cluster: ``max_query_rows`` caps the broadcast side
-    (checked with a cheap limit+count on the query side only; pass
-    ``None`` to skip when the caller has already bounded it).  For
+    than melt the cluster: ``max_query_rows`` caps the broadcast side.
+    The cap is checked AT EXECUTION (a bounded count of the query
+    side folded into the plan via ``assert_true``), so building the
+    plan stays action-free — the repo-wide convention.  Pass ``None``
+    to skip when the caller has already bounded the query side.  For
     large query sets use :func:`lsh_ann_topk` or
     :func:`~idn_area_etl_spark.operators.ivf.ivf_ann_topk`.
     """
     if max_query_rows is not None:
-        probe = queries.limit(max_query_rows + 1).count()
-        if probe > max_query_rows:
-            raise ValueError(
-                f"cosine_topk query side exceeds max_query_rows="
-                f"{max_query_rows}; this operator broadcasts the query "
-                "side and is O(corpus x queries) — use lsh_ann_topk / "
-                "ivf_ann_topk for large query sets, or raise the cap "
-                "explicitly"
+        # limit(cap+1)+count keeps the guard O(cap) however large the
+        # query side is; the 1-row result broadcasts onto the query
+        # side and assert_true fails the job at execution if exceeded
+        guard = (
+            queries.limit(max_query_rows + 1)
+            .select(F.lit(1).alias("_one"))
+            .agg(F.count("*").alias("_qn"))
+        )
+        queries = (
+            queries.crossJoin(F.broadcast(guard))
+            .where(
+                F.assert_true(
+                    F.col("_qn") <= F.lit(max_query_rows),
+                    F.lit(
+                        f"cosine_topk query side exceeds max_query_rows="
+                        f"{max_query_rows}; this operator broadcasts the "
+                        "query side and is O(corpus x queries) — use "
+                        "lsh_ann_topk / ivf_ann_topk for large query "
+                        "sets, or raise the cap explicitly"
+                    ),
+                ).isNull()
             )
+        )
     q = _with_vec_and_norm(queries, "query_id", vec_col)
     c = _with_vec_and_norm(corpus, "neighbor_id", vec_col)
     cos = F.round(

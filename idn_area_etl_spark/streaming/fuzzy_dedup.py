@@ -13,10 +13,22 @@ representative and the exact Jaccard.
 Design notes (same stance as micro_batch.py's first-seen provinces):
 
 - **State lives in the sinks**, not in executor memory: the store is
-  two append-mode parquet tables — ``store/docs`` (doc_id, hashed
-  shingle set, set size) and ``store/buckets`` (doc_id, band_no,
-  band_hash).  Restart-safe, and at cluster scale the same layout
-  maps onto any transactional table format.
+  two parquet tables — ``store/docs`` (doc_id, hashed shingle set,
+  set size) and ``store/buckets`` (doc_id, band_no, band_hash).
+  At cluster scale the same layout maps onto any transactional table
+  format.
+- **Idempotent per-batch commits**: ``foreachBatch`` is
+  at-least-once, so blind appends would double-write on a batch
+  retry — and worse, a re-processed doc would then match its own
+  partially-written store copy (self-match, jaccard 1.0).  Every
+  sink is therefore partitioned by a ``commit`` id
+  (``<run>-<epoch>``) written with dynamic partition overwrite (a
+  retry REPLACES its own partition, never appends), store reads see
+  only commits recorded in the ``_commits`` ledger (a retried
+  epoch's partial rows are invisible), and a fully-committed epoch
+  re-delivered after a checkpoint race is skipped outright.  This is
+  the parquet-level equivalent of the transactional-table commit a
+  production deployment gets from Delta/Iceberg.
 - **Greedy online semantics**: a document is a duplicate iff it
   verifies (exact Jaccard >= tau) against an already-retained store
   document or a smaller-id document of its own batch.  This is the
@@ -135,15 +147,24 @@ def run_fuzzy_dedup_stream(
 
     Sinks under ``output_path``: ``store/docs`` + ``store/buckets``
     (retained uniques) and ``duplicates`` (doc_id, matched_id,
-    jaccard; ``matched_id`` = smallest verified match).  Returns
-    ``{"unique": ..., "duplicate": ...}`` counts.
+    jaccard; ``matched_id`` = smallest verified match), all
+    partitioned by ``commit`` with a ``_commits`` ledger making every
+    micro-batch write idempotent under foreachBatch retries.  Returns
+    ``{"unique": ..., "duplicate": ...}`` counts over committed rows.
     """
+    import hashlib
+
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
     docs_dir = str(out / "store" / "docs")
     buckets_dir = str(out / "store" / "buckets")
     dups_dir = str(out / "duplicates")
     checkpoint = checkpoint_path or str(out / "_checkpoint")
+    commits_dir = out / "_commits"
+    commits_dir.mkdir(exist_ok=True)
+    # stable across restarts of the SAME query (same checkpoint ⇒ same
+    # epoch numbering), distinct for a new query against the same store
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     schema = spark.read.parquet(input_path).schema
     stream = (
@@ -152,8 +173,26 @@ def run_fuzzy_dedup_stream(
         .parquet(input_path)
     )
 
+    def committed() -> list[str]:
+        return [p.name for p in commits_dir.iterdir()]
+
+    def write_commit(df: DataFrame, path: str, commit_id: str) -> None:
+        # dynamic partition overwrite: a retried epoch replaces exactly
+        # its own commit partition — never appends, never touches others
+        (
+            df.withColumn("commit", F.lit(commit_id))
+            .write.mode("overwrite")
+            .partitionBy("commit")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
+        commit_id = f"{run_id}-{epoch_id}"
+        done = committed()
+        if commit_id in done:
+            return  # epoch fully committed; redelivery is a no-op
         new_docs, new_buckets = _prep_batch(
             batch, num_hashes, bands, n, text_col
         )
@@ -161,13 +200,22 @@ def run_fuzzy_dedup_stream(
         new_docs = new_docs.localCheckpoint(eager=True)
         new_buckets = new_buckets.localCheckpoint(eager=True)
 
-        # candidates vs the retained store (sink read-back = state)
-        try:
-            store_buckets = sess.read.parquet(buckets_dir)
-            store_docs = sess.read.parquet(docs_dir)
-        except Exception:  # noqa: BLE001 - first batch, no store yet
-            store_buckets = None
-            store_docs = None
+        # candidates vs the retained store (sink read-back = state);
+        # only COMMITTED epochs count — a crashed attempt's partial
+        # rows must not produce self-matches on retry
+        store_buckets = None
+        store_docs = None
+        if done:
+            try:
+                store_buckets = sess.read.parquet(buckets_dir).where(
+                    F.col("commit").isin(done)
+                )
+                store_docs = sess.read.parquet(docs_dir).where(
+                    F.col("commit").isin(done)
+                )
+            except Exception:  # noqa: BLE001 - no store written yet
+                store_buckets = None
+                store_docs = None
         pairs = []
         if store_buckets is not None:
             cand_store = (
@@ -213,24 +261,29 @@ def run_fuzzy_dedup_stream(
         for p in pairs[1:]:
             matches = matches.unionByName(p)
 
-        # one quarantine row per duplicate: smallest verified match
+        # one quarantine row per duplicate: smallest verified match,
+        # reporting THAT pair's jaccard (a single min-struct keeps the
+        # id and the similarity from the same verified pair)
         dups = (
             matches.groupBy("doc_id")
-            .agg(
-                F.min("matched_id").alias("matched_id"),
-                F.max("jaccard").alias("best_jaccard"),
+            .agg(F.min(F.struct("matched_id", "jaccard")).alias("m"))
+            .select(
+                "doc_id",
+                F.col("m.matched_id").alias("matched_id"),
+                F.col("m.jaccard").alias("best_jaccard"),
             )
             .localCheckpoint(eager=True)
         )
-        dups.write.mode("append").parquet(dups_dir)
+        write_commit(dups, dups_dir, commit_id)
 
         keep_ids = new_docs.join(dups, "doc_id", "left_anti").select("doc_id")
-        new_docs.join(keep_ids, "doc_id").write.mode("append").parquet(
-            docs_dir
+        write_commit(new_docs.join(keep_ids, "doc_id"), docs_dir, commit_id)
+        write_commit(
+            new_buckets.join(keep_ids, "doc_id"), buckets_dir, commit_id
         )
-        new_buckets.join(keep_ids, "doc_id").write.mode("append").parquet(
-            buckets_dir
-        )
+        # ledger marker LAST: the commit exists only once all three
+        # sinks are fully written
+        (commits_dir / commit_id).touch()
 
     query = (
         stream.writeStream.foreachBatch(process_batch)
@@ -240,9 +293,16 @@ def run_fuzzy_dedup_stream(
     )
     query.awaitTermination()
 
-    unique = spark.read.parquet(docs_dir).count()
+    done = committed()
+    unique = (
+        spark.read.parquet(docs_dir).where(F.col("commit").isin(done)).count()
+    )
     try:
-        duplicate = spark.read.parquet(dups_dir).count()
+        duplicate = (
+            spark.read.parquet(dups_dir)
+            .where(F.col("commit").isin(done))
+            .count()
+        )
     except Exception:  # noqa: BLE001 - no duplicates ever written
         duplicate = 0
     return {"unique": unique, "duplicate": duplicate}

@@ -137,3 +137,20 @@ def test_token_shingles_edge_semantics(spark):
     assert got[6] == ["lots of weird", "of weird whitespace", "weird whitespace here"]
     assert got[7] == ["a b a", "b a b"]
     assert got[8] == [""]
+
+
+def test_stage_materialization_escape_hatch(spark, corpus):
+    """spark.idnareaetl.stageMaterialization=persist swaps the pinned
+    localCheckpoint for a recomputable persist (the dynamic-allocation
+    / spot-instance deployment mode) with identical results."""
+    from idn_area_etl_spark.operators.dedup import minhash_verified_pairs
+
+    baseline = sorted(map(tuple, minhash_verified_pairs(corpus).collect()))
+    spark.conf.set("spark.idnareaetl.stageMaterialization", "persist")
+    try:
+        out = minhash_verified_pairs(corpus)
+        assert sorted(map(tuple, out.collect())) == baseline
+        # persist mode keeps lineage: the plan has a real InMemoryRelation
+        assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.idnareaetl.stageMaterialization")

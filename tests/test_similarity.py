@@ -53,11 +53,18 @@ def test_cosine_topk_exact_ranking(spark, emb):
 
 def test_cosine_topk_rejects_oversized_query_side(spark, emb):
     # the exact baseline broadcasts the query side; a large query set
-    # must fail loudly, not silently become an O(C*Q) melt
-    with pytest.raises(ValueError, match="max_query_rows"):
-        cosine_topk(emb, emb, k=1, max_query_rows=3)
+    # must fail loudly, not silently become an O(C*Q) melt.  The
+    # guard fires at EXECUTION (assert_true in the plan) — building
+    # the DataFrame stays action-free.
+    oversized = cosine_topk(emb, emb, k=1, max_query_rows=3)  # no error yet
+    with pytest.raises(Exception, match="max_query_rows"):
+        oversized.count()
     # None disables the probe for callers that already bounded it
     assert cosine_topk(emb, emb, k=1, max_query_rows=None).count() > 0
+    # within the cap the guard is transparent
+    assert cosine_topk(
+        emb.filter("vec_id = 0"), emb, k=3, max_query_rows=3
+    ).count() == 3
 
 
 def test_near_dup_pairs_blocked_by_label(spark, emb):

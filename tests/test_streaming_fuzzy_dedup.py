@@ -13,6 +13,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from idn_area_etl_spark.streaming.fuzzy_dedup import run_fuzzy_dedup_stream
 
@@ -82,6 +83,50 @@ def test_duplicates_matched_to_first_seen(result):
     assert dups[10][0] == 1 and dups[10][1] < 1.0  # cross-batch near
     assert dups[20][0] == 1 and dups[20][1] < 1.0  # cross-batch near
     assert dups[21][0] == 11 and dups[21][1] == 1.0  # cross-batch exact
+
+
+def test_uncommitted_partial_writes_are_invisible(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch that crashed mid-write
+    leaves partial store rows behind with NO ledger entry.  Those rows
+    must be invisible to later matching — the classic failure is a
+    re-processed doc quarantining against its own partial copy
+    (self-match, jaccard 1.0)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(7, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "chunk.parquet"))
+
+    out = tmp_path / "out"
+    # simulate the crashed attempt: partial store rows for doc 7 under
+    # a commit id that never reached the ledger
+    from idn_area_etl_spark.streaming.fuzzy_dedup import _prep_batch
+
+    (out / "_commits").mkdir(parents=True)
+    partial = spark.createDataFrame([(7, BASE)], "doc_id long, text string")
+    pdocs, pbuckets = _prep_batch(partial, 64, 32, 3, "text")
+    for df, sub in ((pdocs, "docs"), (pbuckets, "buckets")):
+        df.withColumn("commit", F.lit("deadbeef-0")).write.mode(
+            "append"
+        ).partitionBy("commit").parquet(str(out / "store" / sub))
+
+    counts = run_fuzzy_dedup_stream(spark, str(in_dir / "*"), str(out))
+    # doc 7 is retained as unique — it did NOT match its partial copy
+    assert counts == {"unique": 1, "duplicate": 0}
+
+
+def test_fully_committed_epoch_redelivery_is_noop(spark, tmp_path):
+    """Same input + same checkpoint drained twice: the second drain
+    redelivers nothing new and every sink stays exactly once."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(1, BASE), (2, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "chunk.parquet"))
+    out = tmp_path / "out"
+    first = run_fuzzy_dedup_stream(spark, str(in_dir / "*"), str(out))
+    second = run_fuzzy_dedup_stream(spark, str(in_dir / "*"), str(out))
+    assert first == second == {"unique": 1, "duplicate": 1}
 
 
 def test_restart_safe_store_is_the_state(result):
