@@ -247,7 +247,9 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return cosine_topk(queries, emb, k=3)
+    # query side is bounded by construction (vec_id < 20), so skip the
+    # execution-time cap guard and its extra query-side scan
+    return cosine_topk(queries, emb, k=3, max_query_rows=None)
 
 
 E_COSINE_TOPK_SQL = """
