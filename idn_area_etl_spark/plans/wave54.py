@@ -59,14 +59,19 @@ def s_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars",
         F.coalesce("component", F.col("doc_id")).alias("cluster"),
     )
-    keeper = clustered.groupBy("cluster").agg(
-        F.min(
-            F.struct(
-                (-F.col("chars")).alias("neg_chars"),
-                F.col("doc_id").alias("doc_id"),
-            )
-        ).alias("best")
-    ).select("cluster", F.col("best.doc_id").alias("keep_id"))
+    # keep-best = argmax chars (ties → min doc_id) per cluster, as two
+    # primitive-buffer HashAggregates + an equi-join instead of a
+    # struct-min: non-primitive agg buffers plan as SortAggregate,
+    # which sorts the doc-scale clustered table on both sides of the
+    # shuffle (see SCALE.md "SortAggregate hazard")
+    best_chars = clustered.groupBy("cluster").agg(
+        F.max("chars").alias("chars")
+    )
+    keeper = (
+        clustered.join(best_chars, ["cluster", "chars"])
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
     tagged = clustered.join(F.broadcast(keeper), "cluster").select(
         "lang",
         "chars",
