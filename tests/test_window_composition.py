@@ -1,0 +1,63 @@
+"""The driver's correctness gate hash-checks the FIRST 50 entries of
+``queries()``.  Pin the window's composition so refactors can't
+silently evict brief-critical specs or starve the rotation."""
+
+from __future__ import annotations
+
+import glob
+import json
+from pathlib import Path
+
+from idn_area_etl_spark.plans import all_specs
+
+REPO = Path(__file__).parent.parent
+
+BRIEF_CRITICAL = {
+    # reference parity
+    "rf_island_code_filter", "rf_parent_from_code", "rf_length_split",
+    "rf_name_coalesce", "rf_clean_text", "rf_normalize_spaced",
+    "rf_first_seen_orders", "rf_area_pipeline", "rf_island_pipeline",
+    "rf_fix_wrapped", "rf_coordinate",
+    # LLM-pipeline headliners + TPC-H staples
+    "d_minhash_verified", "d_dedup_exact", "d_dedup_clusters",
+    "e_cosine_topk", "p_curation_pipeline",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q10_returned_items",
+}
+
+
+def test_window_contains_all_brief_critical_specs():
+    window = set(list(all_specs())[:50])
+    assert BRIEF_CRITICAL <= window
+
+
+def test_window_is_fully_oracle_backed():
+    specs = all_specs()
+    missing = [n for n in list(specs)[:50] if specs[n].oracle is None]
+    assert missing == [], (
+        "window slots are scarce hard evidence — rows-only specs "
+        f"waste them: {missing}"
+    )
+
+
+def test_rotation_slots_cover_never_driver_checked_specs():
+    """Each round ≥25 window slots must be specs absent from every
+    prior round's CORRECTNESS file (VERDICT r2 item 2)."""
+    window = list(all_specs())[:50]
+    checked: set[str] = set()
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        names = set(json.load(open(path)))
+        if names == set(window):
+            # this exact window has already been driver-checked (the
+            # file the CURRENT round produced) — rotation is due at
+            # the START of the next round, not a failure now
+            return
+        checked |= names
+    if not checked:  # driver artifacts absent (fresh clone)
+        return
+    fresh = [n for n in window if n not in checked]
+    assert len(fresh) >= 25, (
+        f"only {len(fresh)} never-checked specs in the window; "
+        "rotate plans/registry.py's rotation list (tools/rotation.py "
+        "prints the pool)"
+    )
