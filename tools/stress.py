@@ -128,6 +128,41 @@ def synth_edges(spark, n: int) -> DataFrame:
     return a.unionByName(b)
 
 
+def _curation(docs: DataFrame) -> DataFrame:
+    """Flagship curation pipeline over the synthetic corpus (quality
+    gate → hash-agg dedup + join-back → split → rollup) — same shape
+    as plans/wave12.py's p_curation_pipeline."""
+    from idn_area_etl_spark.operators.dedup import _stage
+    from idn_area_etl_spark.operators.text import quality_score_expr
+
+    scored = docs.select(
+        "doc_id",
+        F.lit("syn").alias("lang"),
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.0)
+    small = _stage(
+        scored.select(
+            "doc_id", "lang", "n_tokens", F.md5("text").alias("content_hash")
+        )
+    )
+    reps = small.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    deduped = reps.select("doc_id").join(small, "doc_id")
+    pct = F.pmod(F.xxhash64("doc_id"), F.lit(100))
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return (
+        deduped.select("lang", "n_tokens", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 def run_noop(df: DataFrame) -> float:
     start = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -179,6 +214,7 @@ def main() -> None:
         "connected_components": lambda edges, _: graph.connected_components(
             edges, "src", "dst"
         ),
+        "curation": lambda d, e: _curation(d),
         # NOT measured: near_dup_pairs / ngram_jaccard_pairs — blocked
         # all-pairs kernels are quadratic within a block BY DESIGN
         # (exact verification kernels); their scale story is "run them
