@@ -116,7 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("pdf_path", type=Path, nargs="?", default=None)
     p.add_argument("-d", "--destination", type=Path, default=Path("."))
     p.add_argument("-o", "--output", default=None, help="output name (default: PDF stem)")
-    p.add_argument("-p", "--pages", default=None, help="page range like '1-4,6'")
+    # reference spelling is --range/-r (cli.py:98); --pages/-p kept too
+    p.add_argument("-r", "--range", "-p", "--pages", dest="pages",
+                   default=None, help="page range like '1-4,6'")
     p.add_argument("-c", "--chunk-size", type=int, default=3)
     p.add_argument("--parallel", action="store_true",
                    help="accepted for compatibility; Spark is always parallel")

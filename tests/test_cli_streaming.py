@@ -33,6 +33,9 @@ def test_cli_validation_failures(tmp_path: Path):
     assert "must be a .pdf" in validate_args(not_pdf)
     bad_pages = parser.parse_args(["x.pdf", "--pages", "1-"])
     assert "invalid page range" in validate_args(bad_pages)
+    # reference spelling --range/-r (reference cli.py:98) maps to pages
+    assert parser.parse_args(["x.pdf", "-r", "1-4,6"]).pages == "1-4,6"
+    assert parser.parse_args(["x.pdf", "--range", "2"]).pages == "2"
     bad_name = parser.parse_args(["x.pdf", "--output", "bad name!"])
     assert "invalid output name" in validate_args(bad_name)
     file_dest = tmp_path / "afile"
