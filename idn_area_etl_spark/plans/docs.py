@@ -140,7 +140,9 @@ ORDER BY doc_id
 
 
 def d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(_docs(spark, sf_dir)).orderBy("rep_doc_id")
+    # no final orderBy: order is a sink concern (oracle compare is
+    # order-insensitive); the range exchange was pure overhead
+    return exact_dedup_groups(_docs(spark, sf_dir))
 
 
 D_DEDUP_EXACT_SQL = """

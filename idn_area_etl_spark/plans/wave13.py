@@ -60,7 +60,7 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("session_start"),
         (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
         "n_events",
-    ).orderBy("user_id", "session_start")
+    )  # unsorted: presentation order is a sink concern
 
 
 Q_SESSION_WINDOW_SQL = """
