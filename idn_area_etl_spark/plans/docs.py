@@ -52,7 +52,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+    return token_stats(_docs(spark, sf_dir))
 
 
 D_TOKEN_STATS_SQL = """
@@ -71,7 +71,7 @@ def d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", quality_score_expr(F.col("text")).alias("quality")
-    ).orderBy("doc_id")
+    )
 
 
 D_QUALITY_SQL = """
@@ -90,7 +90,7 @@ ORDER BY doc_id
 
 
 def d_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+    return lang_scores(_docs(spark, sf_dir))
 
 
 D_LANG_SQL = """
@@ -123,7 +123,7 @@ def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 D_FINGERPRINT_SQL = """
@@ -238,7 +238,7 @@ ORDER BY doc_a, doc_b
 
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Not SQL-expressible → rows-only check.
-    return simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+    return simhash_signatures(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -339,7 +339,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return binary_metadata(blobs).orderBy("doc_id")
+    return binary_metadata(blobs)
 
 
 MM_BINARY_META_SQL = """

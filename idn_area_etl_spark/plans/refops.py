@@ -158,7 +158,7 @@ def rf_name_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.trim("source"), F.lit("")),
         F.lit("unknown"),
     )
-    return docs.select("doc_id", picked.alias("picked")).orderBy("doc_id")
+    return docs.select("doc_id", picked.alias("picked"))
 
 
 RF_COALESCE_SQL = """
@@ -182,7 +182,7 @@ def rf_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", clean_name(messy).alias("cleaned")
-    ).orderBy("doc_id")
+    )
 
 
 RF_CLEAN_TEXT_SQL = """
@@ -208,7 +208,7 @@ def rf_normalize_spaced(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         spaced.alias("spaced"),
         normalize_words(spaced).alias("normalized"),
-    ).orderBy("doc_id")
+    )
 
 
 RF_NORMALIZE_SQL = """

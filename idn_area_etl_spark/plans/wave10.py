@@ -153,11 +153,7 @@ def mm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("int").alias("n_wav_frames"))
     )
-    return (
-        wav_meta.join(bmp_meta, "doc_id")
-        .join(sampled, "doc_id")
-        .orderBy("doc_id")
-    )
+    return wav_meta.join(bmp_meta, "doc_id").join(sampled, "doc_id")
 
 
 MM_CODEC_ROUNDTRIP_SQL = f"""
@@ -208,7 +204,7 @@ def d_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(normed).alias("n_chars_nfc"),
         (normed != F.col("text")).alias("changed"),
-    ).orderBy("doc_id")
+    )
 
 
 D_UNICODE_NFC_SQL = """

@@ -59,7 +59,7 @@ def d_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_distinct_chars",
         F.round(entropy, 6).alias("char_entropy"),
-    ).orderBy("doc_id")
+    )
 
 
 D_CHAR_ENTROPY_SQL = """

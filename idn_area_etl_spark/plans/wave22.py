@@ -92,7 +92,7 @@ def d_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bigrams",
         F.round("avg_raw", 6).alias("avg_nll"),
-    ).orderBy("doc_id")
+    )
 
 
 D_PPL_SQL = """

@@ -88,7 +88,6 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("geom_checksum"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -43,7 +43,6 @@ def s_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(hash_sample_predicate(F.col("doc_id"), "10"))
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
     )
 
 

@@ -53,7 +53,6 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("node") == F.col("component")).cast("int").alias("is_rep"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -37,7 +37,7 @@ from idn_area_etl_spark.sources.tables import load_table
 
 def d_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return repetition_stats(docs).orderBy("doc_id")
+    return repetition_stats(docs)
 
 
 D_REPETITION_SQL = """
@@ -105,7 +105,7 @@ LIMIT 20
 
 def d_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return pii_stats(docs).orderBy("doc_id")
+    return pii_stats(docs)
 
 
 D_PII_SQL = """
