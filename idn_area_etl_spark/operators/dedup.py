@@ -448,7 +448,6 @@ def minhash_candidates(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -584,7 +583,6 @@ def minhash_verified_pairs(
                 F.col("n_inter").cast("double") / F.col("n_union"), 6
             ).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -696,7 +694,6 @@ def simhash_near_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -853,5 +850,4 @@ def prefix_jaccard_join(
                 F.col("n_inter").cast("double") / F.col("n_union"), 6
             ).alias("jaccard"),
         )
-        .orderBy("doc1", "doc2")
     )
