@@ -64,6 +64,13 @@ def _stage(df: DataFrame) -> DataFrame:
         return df.persist(StorageLevel.MEMORY_AND_DISK)
     if mode == "checkpoint":
         return df.checkpoint(eager=False)
+    if mode != "localCheckpoint":
+        # a typo ('Persist', 'persistent') must not silently fall back
+        # to the lineage-truncating mode the caller was opting OUT of
+        raise ValueError(
+            "spark.idnareaetl.stageMaterialization must be one of "
+            f"'localCheckpoint', 'persist', 'checkpoint'; got {mode!r}"
+        )
     return df.localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )

@@ -61,9 +61,20 @@ def binary_metadata(blobs: DataFrame, payload_col: str = "payload") -> DataFrame
     )
 
 
-def _decode_one(payload: bytes) -> dict:
+def _decode_one(payload: bytes | None) -> dict:
     """Decode a single payload to metadata fields; never raises —
-    malformed or codec-less payloads report ``decode_error``."""
+    NULL, malformed, or codec-less payloads report ``decode_error``."""
+    if payload is None:
+        return {
+            "media_type": "application/octet-stream",
+            "width": None,
+            "height": None,
+            "n_frames": None,
+            "sample_rate": None,
+            "n_channels": None,
+            "bits_per_sample": None,
+            "decode_error": "null payload",
+        }
     media_type = sniff_media_type(payload)
     out = {
         "media_type": media_type,
@@ -118,7 +129,13 @@ def decode_payloads(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "n_bytes": pd.array(
+                        [
+                            None if p is None else len(p)
+                            for p in pdf[payload_col]
+                        ],
+                        dtype="Int64",
+                    ),
                     "media_type": [m["media_type"] for m in metas],
                     "width": pd.array(
                         [m["width"] for m in metas], dtype="Int32"
@@ -214,6 +231,8 @@ def frame_sample(
     import hashlib
 
     def sample_one(doc_id, payload, out) -> None:
+        if payload is None:
+            return  # NULL payload: no frames (decode_payloads reports)
         media_type = sniff_media_type(payload)
         try:
             if media_type == "audio/wav":
@@ -222,10 +241,15 @@ def frame_sample(
                 win = max(
                     ba, (meta["sample_rate"] * window_ms // 1000) * ba
                 )
-                starts = range(
-                    0, max(1, len(pcm) - win + 1), max(win, 1)
-                )
-                for frame_no, off in enumerate(list(starts)[:n_samples]):
+                # evenly-spaced across the WHOLE file: pick n_samples of
+                # the n_avail non-overlapping windows by index (identical
+                # to consecutive windows when n_avail <= n_samples, so
+                # frame COUNTS stay min(n_samples, max(1, len//win)) —
+                # the formula the mm_codec_roundtrip oracle pins)
+                n_avail = max(1, len(pcm) // win)
+                k = min(n_samples, n_avail)
+                starts = [j * n_avail // k * win for j in range(k)]
+                for frame_no, off in enumerate(starts):
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(frame_no)
                     out["ts_ms"].append(

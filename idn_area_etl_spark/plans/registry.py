@@ -228,6 +228,12 @@ def all_specs() -> dict[str, QuerySpec]:
     missing = [n for n in window if n not in specs]
     if missing:
         raise ValueError(f"window references unknown specs: {missing}")
+    if len(window) != 50:
+        # the driver hash-checks exactly the FIRST 50 registered specs;
+        # an over-long window silently pushes its tail outside the gate
+        raise ValueError(
+            f"correctness window must be exactly 50 specs, got {len(window)}"
+        )
     ordered: dict[str, QuerySpec] = {n: specs[n] for n in window}
     for name, spec in specs.items():
         if name not in ordered:

@@ -180,7 +180,8 @@ SELECT doc_id,
   CAST(height AS INT) AS height,
   TRUE AS bmp_ok,
   CAST(LEAST(4, GREATEST(1,
-    (pcm_len / 2) / ((sample_rate * 40) / 1000))) AS INT) AS n_wav_frames
+    FLOOR((pcm_len / 2) / ((sample_rate * 40) / 1000)))) AS INT)
+    AS n_wav_frames
 FROM derived ORDER BY doc_id
 """
 

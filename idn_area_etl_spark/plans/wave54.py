@@ -48,7 +48,13 @@ def s_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc1", "doc2"
     )
     comp = connected_components(edges, "doc1", "doc2")
-    meta = docs.select("doc_id", "lang", F.length("text").alias("chars"))
+    # chars is null-safe: an all-NULL-text cluster must still elect a
+    # keeper (the max-chars equi-join below never matches on NULL)
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.length("text"), F.lit(0)).alias("chars"),
+    )
     clustered = meta.join(
         comp.select(F.col("node").alias("doc_id"), "component"),
         "doc_id",
@@ -131,7 +137,7 @@ reach(node, lab) AS (
 ),
 comp AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node),
 clustered AS (
-  SELECT d.doc_id, d.lang, length(d.text) AS chars,
+  SELECT d.doc_id, d.lang, COALESCE(length(d.text), 0) AS chars,
     COALESCE(c.cluster, d.doc_id) AS cluster
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 ),

@@ -53,6 +53,11 @@ def _objects(data: bytes) -> dict[int, bytes]:
 
 def _stream_of(body: bytes) -> bytes:
     m = re.search(rb"stream\r?\n(.*?)endstream", body, re.S)
+    if m is None:
+        raise ValueError(
+            "object has no stream data — PDF is outside the lattice "
+            "transcriber's scope (install camelot for general PDFs)"
+        )
     raw = m.group(1)
     if b"/FlateDecode" in body:
         return zlib.decompress(raw)
@@ -419,27 +424,61 @@ def page_grid(pc: PageContent) -> list[list[str]]:
 
 def count_pages(pdf_path: str) -> int:
     """Stdlib page-count probe (the pypdf-free fallback for S2):
-    length of the page tree's /Kids array."""
+    number of ``/Type /Page`` leaf objects (robust to nested page
+    trees, where counting one ``/Kids`` array would undercount); falls
+    back to the root ``/Kids`` length for page objects inlined beyond
+    the object scan's reach."""
     objs = _objects(open(pdf_path, "rb").read())
+    n = sum(
+        1
+        for body in objs.values()
+        if re.search(rb"/Type\s*/Page(?![a-zA-Z])", body)
+    )
+    if n:
+        return n
     kids_m = re.search(rb"/Kids \[([^\]]*)\]", b"".join(objs.values()))
     if kids_m is None:
         raise ValueError(f"no page tree found in {pdf_path}")
     return len(re.findall(rb"(\d+) 0 R", kids_m.group(1)))
 
 
-def transcribe(pdf_path: str) -> list[tuple[int, int, list[list[str]]]]:
-    """PDF → [(page_no, table_no, grid), ...] in reading order."""
+def transcribe(
+    pdf_path: str, pages: list[int] | None = None
+) -> list[tuple[int, int, list[list[str]]]]:
+    """PDF → [(page_no, table_no, grid), ...] in reading order.
+
+    ``pages`` (1-based) restricts which pages' content streams are
+    interpreted — the expensive step — so a chunked caller pays only
+    for its own pages, not the whole document, per call.
+
+    Raises ``ValueError`` (not a cryptic AttributeError) when the PDF
+    is outside the flattened-lattice scope this parser handles.
+    """
     data = open(pdf_path, "rb").read()
     objs = _objects(data)
-    pages: list[tuple[int, int]] = []  # (page_obj_num, contents_num)
+    page_objs: list[tuple[int, int]] = []  # (page_obj_num, contents_num)
     kids_m = re.search(rb"/Kids \[([^\]]*)\]", b"".join(objs.values()))
+    if kids_m is None:
+        raise ValueError(
+            f"no page tree found in {pdf_path} — outside the lattice "
+            "transcriber's scope (install camelot for general PDFs)"
+        )
     kid_nums = [int(n) for n in re.findall(rb"(\d+) 0 R", kids_m.group(1))]
     for kid in kid_nums:
-        cm = re.search(rb"/Contents (\d+) 0 R", objs[kid])
-        pages.append((kid, int(cm.group(1))))
+        cm = re.search(rb"/Contents (\d+) 0 R", objs.get(kid, b""))
+        if cm is None:
+            raise ValueError(
+                f"page object {kid} has no direct /Contents reference — "
+                "outside the lattice transcriber's scope (install "
+                "camelot for general PDFs)"
+            )
+        page_objs.append((kid, int(cm.group(1))))
 
+    wanted = set(pages) if pages is not None else None
     out: list[tuple[int, int, list[list[str]]]] = []
-    for page_no, (page_obj, contents) in enumerate(pages, start=1):
+    for page_no, (page_obj, contents) in enumerate(page_objs, start=1):
+        if wanted is not None and page_no not in wanted:
+            continue
         fonts = _fonts_for_page(objs, objs[page_obj])
         pc = _interpret(_stream_of(objs[contents]), fonts)
         grid = page_grid(pc)

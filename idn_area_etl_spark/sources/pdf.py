@@ -96,24 +96,35 @@ def lattice_parser(
     pdf_path: str, page_list: list[int]
 ) -> list[tuple[int, int, list[list[str]]]]:
     """Dependency-free fallback parser: the stdlib lattice transcriber
-    (`sources/lattice.py`), filtered to the chunk's pages."""
+    (`sources/lattice.py`), interpreting ONLY the chunk's pages (so a
+    chunked run costs O(own pages), not O(whole document) per chunk)."""
     from idn_area_etl_spark.sources.lattice import transcribe
 
-    wanted = set(page_list)
-    return [
-        (page_no, table_no, grid)
-        for page_no, table_no, grid in transcribe(pdf_path)
-        if page_no in wanted
-    ]
+    return transcribe(pdf_path, pages=page_list)
 
 
 def default_parser() -> TableParser:
-    """camelot when importable, else the stdlib lattice parser."""
+    """camelot when importable, else the stdlib lattice parser.
+
+    The fallback handles the Ghostscript-flattened lattice subset only
+    (ruled tables, simple fonts); it raises ``ValueError`` on PDFs
+    outside that scope, and the warning below makes the narrowed scope
+    visible up front instead of surfacing as an empty extraction."""
     try:
         import camelot  # type: ignore[import-not-found]  # noqa: F401
 
         return camelot_parser
     except ImportError:
+        import warnings
+
+        warnings.warn(
+            "camelot is not installed; using the stdlib lattice table "
+            "parser, which only handles flattened lattice PDFs "
+            "(ruled tables, simple fonts). Install camelot-py for "
+            "general PDF table extraction.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return lattice_parser
 
 

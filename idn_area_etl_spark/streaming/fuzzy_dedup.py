@@ -147,7 +147,8 @@ def run_fuzzy_dedup_stream(
 
     Sinks under ``output_path``: ``store/docs`` + ``store/buckets``
     (retained uniques) and ``duplicates`` (doc_id, matched_id,
-    jaccard; ``matched_id`` = smallest verified match), all
+    matched_jaccard; ``matched_id`` = smallest verified match and
+    ``matched_jaccard`` is THAT pair's similarity), all
     partitioned by ``commit`` with a ``_commits`` ledger making every
     micro-batch write idempotent under foreachBatch retries.  Returns
     ``{"unique": ..., "duplicate": ...}`` counts over committed rows.
@@ -270,7 +271,7 @@ def run_fuzzy_dedup_stream(
             .select(
                 "doc_id",
                 F.col("m.matched_id").alias("matched_id"),
-                F.col("m.jaccard").alias("best_jaccard"),
+                F.col("m.jaccard").alias("matched_jaccard"),
             )
             .localCheckpoint(eager=True)
         )

@@ -154,3 +154,18 @@ def test_stage_materialization_escape_hatch(spark, corpus):
         assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.unset("spark.idnareaetl.stageMaterialization")
+
+
+def test_stage_materialization_rejects_unknown_mode(spark, corpus):
+    """A typo'd mode must raise, not silently fall back to the
+    lineage-truncating localCheckpoint the caller was opting out of."""
+    import pytest
+
+    from idn_area_etl_spark.operators.dedup import minhash_verified_pairs
+
+    spark.conf.set("spark.idnareaetl.stageMaterialization", "Persist")
+    try:
+        with pytest.raises(ValueError, match="stageMaterialization"):
+            minhash_verified_pairs(corpus)
+    finally:
+        spark.conf.unset("spark.idnareaetl.stageMaterialization")

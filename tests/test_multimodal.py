@@ -33,6 +33,7 @@ def blobs(spark):
         (4, encode_wav(bytes(range(200)), 16000)),
         (5, encode_bmp(16, 4, bytes(range(192)))),
         (6, b"BM" + b"\x00" * 10),  # truncated BMP
+        (7, None),  # NULL payload: reported, never a crash
     ]
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
@@ -71,6 +72,8 @@ def test_decode_reports_codec_gaps_and_corruption(blobs):
     assert rows[3]["n_bytes"] == 0
     assert rows[6]["media_type"] == "image/bmp"
     assert rows[6]["decode_error"] is not None  # truncated, not a crash
+    assert rows[7]["n_bytes"] is None
+    assert rows[7]["decode_error"] == "null payload"
     assert all(r["width"] is None for k, r in rows.items() if k != 5)
 
 

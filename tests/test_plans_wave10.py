@@ -107,11 +107,16 @@ def test_chunk_binary_short_payload_single_window(spark):
 def test_frame_sample_wav_windows_match_local_slices(spark):
     from idn_area_etl_spark.functions.codecs import encode_wav
 
-    pcm1 = bytes(range(256)) * 10          # 2560 B = 1280 samples
+    pcm1 = bytes(range(256)) * 10          # 2560 B: exactly 4 windows
     pcm2 = (b"\x01\x02\x03\x04" * 50)      # 200 B: shorter than one window
+    pcm3 = bytes(range(256)) * 25          # 6400 B: 10 windows, sample 4
     rate = 8000                            # 40 ms window = 320 smp = 640 B
     blobs = spark.createDataFrame(
-        [(1, encode_wav(pcm1, rate)), (2, encode_wav(pcm2, rate))],
+        [
+            (1, encode_wav(pcm1, rate)),
+            (2, encode_wav(pcm2, rate)),
+            (3, encode_wav(pcm3, rate)),
+        ],
         ["doc_id", "payload"],
     )
     out = frame_sample(blobs, n_samples=4, window_ms=40)
@@ -119,9 +124,11 @@ def test_frame_sample_wav_windows_match_local_slices(spark):
     rows = sorted(map(tuple, out.collect()))
 
     expected = []
-    for doc_id, pcm in ((1, pcm1), (2, pcm2)):
+    for doc_id, pcm in ((1, pcm1), (2, pcm2), (3, pcm3)):
         win = 640
-        starts = list(range(0, max(1, len(pcm) - win + 1), win))[:4]
+        n_avail = max(1, len(pcm) // win)
+        k = min(4, n_avail)
+        starts = [j * n_avail // k * win for j in range(k)]
         for fn, off in enumerate(starts):
             expected.append(
                 (
@@ -132,6 +139,10 @@ def test_frame_sample_wav_windows_match_local_slices(spark):
                 )
             )
     assert rows == sorted(expected)
+    # the 10-window doc is sampled ACROSS the file (windows 0,2,5,7 →
+    # 0/80/200/280 ms), not the first 4 consecutive windows (0-160 ms)
+    doc3_ts = sorted(r[2] for r in rows if r[0] == 3)
+    assert doc3_ts == [0, 80, 200, 280]
 
 
 def test_frame_sample_bmp_bands_and_nonmedia_skip(spark):

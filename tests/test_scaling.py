@@ -10,8 +10,11 @@ of surfacing at 1M docs.
 
 Calibration (local[32], this container): at the 20k/100k tiers the
 exponents measure 0.12-0.65 — fixed JVM/planning overheads keep small
-tiers sub-linear — so 1.2 is a wide, non-flaky margin that still
-catches any superlinear kernel.
+tiers sub-linear — so 1.2 is a wide margin that still catches any
+superlinear kernel.  Wall-clock gates are load-sensitive: run this
+module on an otherwise-idle machine (a concurrent CPU-bound job can
+inflate the big tier's timings past the gate; best-of-4 per tier
+absorbs transient spikes but not sustained contention).
 
 Run just these: ``pytest -m scaling``; skip them: ``-m "not scaling"``.
 """
@@ -52,7 +55,13 @@ def _stress():
 
 @pytest.fixture(scope="module")
 def exponents(spark):
-    """Best-of-2 wall clock per (op, tier) → growth exponent per op."""
+    """Best-of-4 wall clock per (op, tier) → growth exponent per op.
+
+    4 attempts because single-run wall clock at the 100k tier swings up
+    to 4x on this container (GC/AQE variance: an idle-machine probe of
+    prefix_jaccard measured [15.0, 28.7, 8.9, 6.4] s back-to-back); the
+    minimum converges by the 3rd-4th attempt while a genuine quadratic
+    regression still exceeds the gate by an order of magnitude."""
     stress = _stress()
     from idn_area_etl_spark.operators import dedup, graph
 
@@ -73,7 +82,7 @@ def exponents(spark):
         for name, build in ops.items():
             stress.drop_persisted_blocks(spark)
             best = float("inf")
-            for _ in range(2):
+            for _ in range(4):
                 start = time.perf_counter()
                 build(docs, edges).write.format("noop").mode(
                     "overwrite"

@@ -75,7 +75,7 @@ def test_store_holds_first_seen_uniques(result):
 def test_duplicates_matched_to_first_seen(result):
     spark, root, _ = result
     dups = {
-        r.doc_id: (r.matched_id, r.best_jaccard)
+        r.doc_id: (r.matched_id, r.matched_jaccard)
         for r in spark.read.parquet(str(root / "out" / "duplicates")).collect()
     }
     assert set(dups) == {2, 10, 20, 21}
