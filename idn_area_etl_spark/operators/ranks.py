@@ -21,9 +21,13 @@ values with a fully distributed plan:
 The result is bit-identical to the single-partition window whenever
 the order is a total order (unique tiebreaker — the registry-wide
 determinism rule already requires one): global position is
-independent of where the sampled range boundaries fall, and the two
-consumers of the range exchange (rows + counts) reuse one physical
-exchange (ReuseExchange), so both see the same partitioning.
+independent of where the sampled range boundaries fall.  The ranged
+frame is materialized once (``_stage``) so its two consumers — the
+row join and the per-partition offset histogram — read the SAME
+physical layout; ``_pid``/``_lpos`` are layout-derived, and exchange
+reuse alone does not guarantee layout agreement under AQE (each
+consumer coalesces its shuffle read independently; see
+``_ranged_with_position``).
 
 Reference semantics: SQL window functions over a global ORDER BY
 (reference engines run these single-node; this is the 1000-executor
@@ -38,17 +42,45 @@ from pyspark.sql import functions as F
 _LOCAL_MASK = (1 << 33) - 1
 
 
+def _num_range_partitions(df: DataFrame) -> int:
+    """Explicit partition count for the range exchange (implicit
+    counts additionally let AQE re-plan the layout; see
+    :func:`_ranged_with_position` for why the layout must be stable)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def _ranged_with_position(
     df: DataFrame, order_cols: list[Column]
 ) -> DataFrame:
     """Range-partition + sort on ``order_cols`` and attach ``_pid``
     (range partition index) and ``_lpos`` (0-based position within the
-    partition)."""
+    partition).
+
+    The result is MATERIALIZED (``_stage``: lazy localCheckpoint, or
+    persist/checkpoint via ``spark.idnareaetl.stageMaterialization``)
+    because every helper here joins the row side back to a per-``_pid``
+    offset histogram derived from this same frame, and ``_pid``/
+    ``_lpos`` come from ``monotonically_increasing_id`` — a function
+    of the PHYSICAL partition layout at evaluation time.  Without
+    pinning, the two consumers can evaluate the exchange under
+    different layouts (AQE coalesces each consumer's shuffle read
+    independently, and a non-reused exchange re-samples its range
+    boundaries), so their ``_pid``/``_lpos`` spaces disagree and the
+    inner join silently drops or misassigns rows.  Observed for real
+    TWICE before pinning: ``d_vocab_growth`` at sf0.1 lost 5 of its 10
+    deciles (driver-green at sf0.01 only because 500 docs coalesce to
+    one partition on both sides), and with only an explicit partition
+    count — no materialization — an 11th ntile appeared when the row
+    side's layout drifted from the histogram's.  Same hazard and same
+    cure as the row-id pinning in ``operators/pca.py``."""
     d = (
-        df.repartitionByRange(*order_cols)
+        df.repartitionByRange(_num_range_partitions(df), *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
     )
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    d = _stage(d)
     return d.withColumn(
         "_pid", F.shiftright("_mid", 33)
     ).withColumn("_lpos", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
@@ -228,11 +260,17 @@ def grouped_row_number(
     emits the per-group total row count."""
     pcols = [F.col(c) for c in partition_cols]
     d = (
-        df.repartitionByRange(*pcols, *order_cols)
+        df.repartitionByRange(
+            _num_range_partitions(df), *pcols, *order_cols
+        )
         .sortWithinPartitions(*pcols, *order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftright("_mid", 33))
     )
+    # materialized for the same layout-stability reason as
+    # _ranged_with_position (offsets join back on _pid)
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    d = _stage(d).withColumn("_pid", F.shiftright("_mid", 33))
     lw = Window.partitionBy("_pid", *partition_cols).orderBy("_mid")
     local = d.withColumn("_lrn", F.row_number().over(lw))
     hist = local.groupBy("_pid", *partition_cols).agg(

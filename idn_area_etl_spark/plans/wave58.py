@@ -259,9 +259,14 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         )
     )
+    # degenerate graphs (no edges, or zero degree variance — e.g. the
+    # 2-edge co>=3 graph at sf0.1) have den=0: NULL assortativity,
+    # matching DuckDB's NULL-on-divide-by-zero (Spark ANSI would throw)
     return sums.select(
         (F.col("m") / 2).cast("long").alias("n_edges"),
-        F.round(num / den, 6).alias("assortativity"),
+        F.round(
+            F.when(den != 0, num / den), 6
+        ).alias("assortativity"),
     )
 
 

@@ -100,23 +100,64 @@ def test_global_ntile_matches_window(spark):
         assert got == exp, f"ntile mismatch at n={n} k={k}"
 
 
-def test_global_row_number_plan_has_no_single_partition_exchange(spark):
+def test_global_row_number_plan_no_full_data_single_partition(spark):
     df = _df(spark)
-    plan = (
-        global_row_number(df, [F.col("v").asc(), F.col("id").asc()])
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # the row-bearing path must be range-partitioned; the only windows
-    # run over the per-partition count histogram (≤ numPartitions rows)
-    assert "RangePartitioning" in plan or "rangepartitioning" in plan
+    r = global_row_number(df, [F.col("v").asc(), F.col("id").asc()])
+    r.collect()
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    # the row-bearing path reads the staged range-partitioned frame
+    # (the range exchange lives inside the staged lineage); the only
+    # SinglePartition exchanges feed the two windows over the
+    # per-partition count histogram (≤ numPartitions rows)
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
+    assert plan.count("SinglePartition") <= 2
 
 
-def test_offset_histogram_reuses_range_exchange(spark):
-    """The offset-histogram branch MUST read the same shuffle output
-    as the row branch (identical range boundaries) — Spark's exchange
-    reuse guarantees it; this pins that the reuse actually happens."""
+def test_pid_spaces_consistent_under_aqe_coalescing(spark):
+    """Regression for a silent row-loss bug: the offsets histogram and
+    the row join both derive ``_pid`` from the physical partition
+    layout, and with an IMPLICIT partition count AQE may coalesce the
+    range exchange's two consumers differently, making their ``_pid``
+    spaces disagree — the inner join then drops rows.  Only triggered
+    by parquet-scan-fed plans with multiple downstream aggregations
+    (synthetic in-memory frames coalesce consistently): d_vocab_growth
+    at sf0.1 lost 5 of its 10 deciles.  The fix pins an explicit
+    partition count (exempt from AQE coalescing)."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    from idn_area_etl_spark.plans.wave48 import d_vocab_growth
+    from idn_area_etl_spark.sources.tables import load_table
+
+    rows = d_vocab_growth(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cums = [r["cum_tokens"] for r in rows]
+    assert cums == sorted(cums) and len(set(cums)) == 10
+    # the final cumulative token count must equal an independent total
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).cast("long")
+        )
+    ).collect()[0][0]
+    assert cums[-1] == total
+
+
+def test_offset_histogram_reads_staged_layout(spark):
+    """The offset-histogram branch MUST see the same physical layout
+    as the row branch.  Exchange reuse is NOT enough (AQE coalesces
+    each consumer's shuffle read independently), so the ranged frame
+    is staged (lineage-pinning materialization) — this pins that both
+    branches read the staged scan, not live exchanges."""
     from pyspark.sql import functions as F
 
     df = (
@@ -127,4 +168,8 @@ def test_offset_histogram_reuses_range_exchange(spark):
     r = global_row_number(df, [F.col("v").asc(), F.col("id").asc()], "rn")
     r.collect()
     plan = r._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    # both consumers read the materialized ranged frame: the staged
+    # scan appears (localCheckpoint default → Scan ExistingRDD), and
+    # no live range exchange remains in the executed plan
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
+    assert "rangepartitioning" not in plan.lower()
