@@ -29,6 +29,22 @@ reuse alone does not guarantee layout agreement under AQE (each
 consumer coalesces its shuffle read independently; see
 ``_ranged_with_position``).
 
+Staging cost — read this before ranking a billion-row table: each
+helper call materializes its FULL ranged input once.  Under the
+default ``localCheckpoint`` mode the blocks are pinned until session
+end (no unpersist hook exists on a lazy plan) and lineage is
+truncated, so a long-lived session calling several helpers pins
+several full-dataset copies, and an executor loss mid-job is
+unrecoverable.  For long-lived sessions, dynamic allocation, or
+preemptible/spot clusters set
+
+    spark.conf.set("spark.idnareaetl.stageMaterialization", "persist")
+
+(recomputable lineage, evictable MEMORY_AND_DISK blocks) or
+``"checkpoint"`` (reliable checkpoint to ``sc.setCheckpointDir``'s
+fault-tolerant storage) — same escape hatch, same trade-offs as
+documented on :func:`idn_area_etl_spark.operators.dedup._stage`.
+
 Reference semantics: SQL window functions over a global ORDER BY
 (reference engines run these single-node; this is the 1000-executor
 re-expression).
@@ -45,8 +61,16 @@ _LOCAL_MASK = (1 << 33) - 1
 def _num_range_partitions(df: DataFrame) -> int:
     """Explicit partition count for the range exchange (implicit
     counts additionally let AQE re-plan the layout; see
-    :func:`_ranged_with_position` for why the layout must be stable)."""
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    :func:`_ranged_with_position` for why the layout must be stable).
+
+    Some platforms set ``spark.sql.shuffle.partitions`` to a
+    non-numeric value (e.g. ``"auto"`` under Databricks AQE auto-
+    tuning); fall back to the cluster's default parallelism then."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
 
 
 def _ranged_with_position(

@@ -427,12 +427,20 @@ def count_pages(pdf_path: str) -> int:
     number of ``/Type /Page`` leaf objects (robust to nested page
     trees, where counting one ``/Kids`` array would undercount); falls
     back to the root ``/Kids`` length for page objects inlined beyond
-    the object scan's reach."""
+    the object scan's reach.
+
+    The match runs on dictionary bytes only — ``stream…endstream``
+    spans are stripped first, so marker bytes that happen to occur
+    inside compressed/binary stream data can't overcount (pypdf walks
+    the page tree and never sees stream payloads either)."""
     objs = _objects(open(pdf_path, "rb").read())
     n = sum(
         1
         for body in objs.values()
-        if re.search(rb"/Type\s*/Page(?![a-zA-Z])", body)
+        if re.search(
+            rb"/Type\s*/Page(?![a-zA-Z])",
+            re.sub(rb"stream\r?\n.*?endstream", b"", body, flags=re.S),
+        )
     )
     if n:
         return n

@@ -72,7 +72,12 @@ def result_hash(df) -> tuple[int, str]:
     h = hashlib.sha256()
     h.update("\x01".join(cols[i] for i in order).encode())
     for r in rows:
+        # explicit row terminator: without it two different row splits
+        # that concatenate to the same byte stream (or cells containing
+        # \x01/\x02) would collide — a silent false-pass is the one
+        # failure mode this harness exists to prevent
         h.update("\x02".join(r).encode())
+        h.update(b"\x03")
     return len(rows), h.hexdigest()
 
 
@@ -101,10 +106,11 @@ def main() -> int:
     bad = 0
     for n in names:
         got = results[n]
-        hashes = {v[1] for v in got.values()}
-        if len(hashes) == 1 and not str(next(iter(hashes))).startswith(
-            "ERROR"
-        ):
+        # compare (row_count, hash) pairs, not the hash alone
+        outcomes = set(got.values())
+        if len(outcomes) == 1 and not str(
+            next(iter(outcomes))[1]
+        ).startswith("ERROR"):
             print(f"ok    {n}: {got['default'][0]} rows")
         else:
             bad += 1
