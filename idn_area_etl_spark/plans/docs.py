@@ -326,6 +326,78 @@ def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Planted-recall ANN: the oracle-checkable variants (VERDICT r3 item 3).
+#
+# The ANN algorithms themselves are approximate and not SQL-expressible,
+# but their RECALL on planted duplicates is exact and deterministic by
+# construction: each query vector (vec_id < 20) gets a byte-identical
+# copy planted into the corpus at vec_id + 1_000_000.  An identical
+# vector (a) hashes to the same sign-LSH bucket in every table, so it is
+# always an LSH candidate; (b) has identical distances to every k-means
+# centroid, so it lands in the same inverted list the query probes first
+# — in both cases the plant MUST come back as a candidate, and its
+# cosine is exactly 1.0 after 6-dp rounding (numerator and denominator
+# are the same sequential-fold dot product, differing by ≤1 ulp).  The
+# plant is therefore always within the top-k (the data has no other
+# exact duplicates, so nothing ties above it), making "each query
+# recovers its own plant at cosine 1.0" a deterministic, hash-checkable
+# oracle row — any regression in bucketing, assignment, probing, or
+# candidate ranking drops rows and fails the driver gate.
+# --------------------------------------------------------------------------
+
+_PLANT_OFFSET = 1_000_000
+
+
+def _with_plants(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(queries, corpus-with-planted-copies) for the recall specs."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    plants = queries.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
+    )
+    return queries, emb.unionByName(plants.select(*emb.columns))
+
+
+def e_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _with_plants(_emb(spark, sf_dir))
+    res = lsh_ann_topk(queries, corpus, k=3, n_planes=8)
+    return (
+        res.filter(
+            F.col("neighbor_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id")
+    )
+
+
+def e_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from idn_area_etl_spark.operators.ivf import ivf_ann_topk, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    queries, corpus = _with_plants(emb)
+    # centroids fit on the base corpus: plants are copies of existing
+    # vectors, so including them would only perturb Lloyd means
+    centroids = kmeans_fit(emb, k=8, iters=2)
+    res = ivf_ann_topk(queries, corpus, centroids, k=3, n_probe=2)
+    return (
+        res.filter(
+            F.col("neighbor_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id")
+    )
+
+
+E_ANN_PLANTED_SQL = f"""
+SELECT vec_id AS query_id,
+  vec_id + {_PLANT_OFFSET} AS neighbor_id,
+  CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings
+WHERE vec_id < 20
+ORDER BY query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal: binary column plumbing (decode itself is a stub —
 # operators/multimodal.py — since no image/audio libs ship in the
 # container; the schema/partitioning/UDF plumbing is real).
@@ -387,6 +459,12 @@ SPECS = [
               tags=("similarity",)),
     QuerySpec("e_ann_ivf", e_ann_ivf, None,
               doc="IVF ANN: k-means lists + n_probe search (rows-only)",
+              tags=("similarity",)),
+    QuerySpec("e_ann_lsh_planted", e_ann_lsh_planted, E_ANN_PLANTED_SQL,
+              doc="sign-LSH ANN recall on planted duplicates (exact oracle)",
+              tags=("similarity",)),
+    QuerySpec("e_ann_ivf_planted", e_ann_ivf_planted, E_ANN_PLANTED_SQL,
+              doc="IVF ANN recall on planted duplicates (exact oracle)",
               tags=("similarity",)),
     QuerySpec("mm_binary_meta", mm_binary_meta, MM_BINARY_META_SQL,
               doc="binary payload metadata extraction", tags=("multimodal",)),

@@ -191,38 +191,43 @@ def all_specs() -> dict[str, QuerySpec]:
         # fixed this round (array<double> -> scalar p25/p50/p75)
         "q_percentiles",
     ]
-    # Round-3 rotation: never driver-checked in r01 nor r02; all verified
+    # Round-4 rotation: never driver-checked in r01∪r02∪r03; all verified
     # green against the local oracle harness at sf0.01 before pinning.
+    # Weighted toward the heaviest machinery touched by the round-3
+    # fixes: 23 specs exercise the ranks.py distributed-window helpers
+    # (post-AQE-layout fix), g_degree_assortativity carries the ANSI
+    # divide fix, and the two e_ann_*_planted specs are the new
+    # oracle-checkable ANN recall rows (VERDICT r3 item 3).
     rotation = [
-        "mm_codec_roundtrip",
-        "mm_image_tiles",
-        "mm_audio_windows",
-        "mm_doc_embedding_join",
-        "d_canonical_dedup",
-        "d_bigram_counts",
-        "d_char_entropy",
-        "d_phonetic_blocks",
-        "d_rake_keywords",
-        "d_bm25_search",
-        "d_vocab_growth",
-        "d_dup_span_fraction",
-        "d_ngram_diversity",
-        "e_quantized_topk",
-        "e_semantic_dedup_seeded",
-        "e_hard_negatives",
-        "j_fuzzy_customer_pairs",
-        "j_point_in_time",
-        "j_grid_close_pairs",
-        "j_copurchase_topk",
-        "g_pagerank_trade",
-        "g_triangle_parts",
-        "g_label_propagation",
-        "g_kcore_parts",
-        "s_split_assign",
-        "s_pack_batches",
-        "s_dedup_keep_best",
-        "s_decontaminate_split",
-        "q_session_window_native",
+        "e_ann_lsh_planted",
+        "e_ann_ivf_planted",
+        "q_scd2_priority",
+        "q_max_concurrency",
+        "q_rolling_median_revenue",
+        "q_event_transitions",
+        "q_k_anonymity",
+        "q_skyline_customers",
+        "q_mad_outliers",
+        "q_journey_patterns",
+        "q_ratio_to_report",
+        "q_rank_movers",
+        "q_pareto_coverage",
+        "a_model_auc",
+        "q_ks_two_sample",
+        "q_quantile_normalize",
+        "a_spearman_corr",
+        "g_degree_assortativity",
+        "a_cumulative_gains",
+        "a_rank_biserial",
+        "q_quarter_hockey",
+        "s_cluster_aware_split",
+        "a_wilcoxon_signed",
+        "d_freq_spectrum",
+        "g_top_triangles",
+        "s_rag_chunking",
+        "a_theil_index",
+        "a_borda_ranking",
+        "d_jaccard_threshold_curve",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]

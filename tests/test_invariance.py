@@ -1,0 +1,135 @@
+"""Partitioning/AQE invariance gate (VERDICT r3 item 2).
+
+The determinism stance (SCALE.md "Determinism without
+single-threading") claims every query's result is bit-identical under
+ANY physical partitioning.  ``tools/invariance.py`` proved it for the
+correctness window; this module keeps a rotating subset of that proof
+IN the suite so the property can't silently decay: each spec runs
+under
+
+1. the test session's defaults (AQE on, 8 shuffle partitions),
+2. an adversarial shuffle-partition count (7 — odd, tiny, different
+   physical layout for every exchange),
+3. AQE disabled (no runtime coalescing / skew splitting, so plan
+   shapes themselves change),
+
+and the canonicalized results must hash identically (same
+normalization the DuckDB oracle compare uses).
+
+The spec list is weighted toward users of the ``operators/ranks.py``
+distributed-window helpers: their ``_pid``/``_lpos`` columns are
+derived from the physical layout via ``monotonically_increasing_id``,
+which is exactly the bug class this harness exists to catch
+(``d_vocab_growth`` silently lost 5 of 10 deciles at sf0.1 when AQE
+coalesced the two consumers of one range exchange differently —
+fixed by staging in round 3).  ``test_harness_detects_stage_removal``
+proves the gate still has teeth: with the staging deleted, the
+divergence must reproduce.
+
+Run just these: ``pytest -m invariance``; skip them: ``-m "not
+invariance"``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+import idn_area_etl_spark.operators.dedup as dedup
+from idn_area_etl_spark.plans import all_specs
+
+pytestmark = pytest.mark.invariance
+
+# single source of truth for the canonical hash: the standalone
+# sweeper tool (tools/ is not a package — load it by path)
+_spec = importlib.util.spec_from_file_location(
+    "invariance_tool", Path(__file__).parent.parent / "tools" / "invariance.py"
+)
+_tool = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_tool)
+result_hash = _tool.result_hash
+
+# Rank-helper consumers (layout-sensitive machinery) + the staged
+# dedup/curation headliners + a plain-window spec as a control.
+INVARIANCE_SPECS = [
+    "d_vocab_growth",          # the original sf0.1 row-loss bug
+    "q_pareto_coverage",       # global_order_stats
+    "q_rolling_median_revenue",
+    "a_spearman_corr",         # two global_row_number passes
+    "q_ratio_to_report",
+    "q_rank_movers",
+    "d_minhash_verified",      # staged sketch, banded join
+    "d_dedup_clusters",        # iterative hash-min CC
+    "s_dedup_keep_best",       # two hash aggs + join-back
+    "p_curation_pipeline",     # flagship composition
+    "q_session_window_native", # plain partitioned window (control)
+    "q1_pricing_summary",      # plain hash aggregate (control)
+]
+
+_CONFIGS = [
+    ("parts7", {"spark.sql.shuffle.partitions": "7"}),
+    ("no_aqe", {"spark.sql.adaptive.enabled": "false"}),
+]
+
+
+def _run_under(spark, overrides: dict[str, str], fn):
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        return fn()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", INVARIANCE_SPECS)
+def test_result_invariant_under_partitioning(spark, sf_dir, name):
+    spec = all_specs()[name]
+    base = result_hash(spec.builder(spark, sf_dir))
+    for cfg_name, overrides in _CONFIGS:
+        got = _run_under(
+            spark, overrides, lambda: result_hash(spec.builder(spark, sf_dir))
+        )
+        assert got == base, (
+            f"{name} is not invariant under {cfg_name}: "
+            f"{got[0]} rows / {got[1][:12]} vs {base[0]} rows / "
+            f"{base[1][:12]} — some value depends on physical layout"
+        )
+
+
+def test_harness_detects_stage_removal(spark):
+    """Teeth check: deleting the ``_stage`` materialization from the
+    rank helpers must make the harness FAIL (at sf0.1, where AQE's
+    independent coalescing of the two range-exchange consumers has
+    room to diverge — sf0.001 collapses to one partition everywhere
+    and cannot reproduce the drift).  If this test ever fails, the
+    invariance gate has gone blind to its founding bug class."""
+    specs = all_specs()
+    names = ["d_vocab_growth", "a_spearman_corr"]
+    sf01 = "/root/testdata/sf0.1"
+    orig = dedup._stage
+    dedup._stage = lambda df: df  # simulate the regression
+    try:
+        diverged = False
+        for name in names:
+            base = result_hash(specs[name].builder(spark, sf01))
+            for _, overrides in _CONFIGS:
+                got = _run_under(
+                    spark,
+                    overrides,
+                    lambda: result_hash(specs[name].builder(spark, sf01)),
+                )
+                if got != base:
+                    diverged = True
+                    break
+            if diverged:
+                break
+    finally:
+        dedup._stage = orig
+    assert diverged, (
+        "removing _stage no longer breaks invariance — the gate lost "
+        "its sensitivity to layout-derived-column drift"
+    )
