@@ -196,11 +196,13 @@ def all_specs() -> dict[str, QuerySpec]:
     # Weighted toward the heaviest machinery touched by the round-3
     # fixes: 23 specs exercise the ranks.py distributed-window helpers
     # (post-AQE-layout fix), g_degree_assortativity carries the ANSI
-    # divide fix, and the two e_ann_*_planted specs are the new
-    # oracle-checkable ANN recall rows (VERDICT r3 item 3).
+    # divide fix, and the three *_planted specs are the new
+    # oracle-checkable ANN recall rows (VERDICT r3 item 3) — one per
+    # ANN engine (sign-LSH, IVF, PQ ADC+rerank).
     rotation = [
         "e_ann_lsh_planted",
         "e_ann_ivf_planted",
+        "e_pq_planted",
         "q_scd2_priority",
         "q_max_concurrency",
         "q_rolling_median_revenue",
@@ -227,7 +229,6 @@ def all_specs() -> dict[str, QuerySpec]:
         "s_rag_chunking",
         "a_theil_index",
         "a_borda_ranking",
-        "d_jaccard_threshold_curve",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]

@@ -224,6 +224,52 @@ def e_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC+rerank recall on planted duplicates — the oracle-checkable
+    companion of :func:`e_pq_topk` (VERDICT r3 item 3).  Each probe
+    vector gets a byte-identical copy planted at vec_id + 1_000_000.
+    Recovery is guaranteed by construction: the copy encodes to the
+    probe's own codes (same argmin, same tiebreak), so its ADC distance
+    is the probe's own quantization error — the MINIMUM any candidate
+    can achieve (each subspace code is that subvector's nearest
+    centroid) — putting it in the shortlist; the exact rerank then
+    scores it sq-dist 0.0, strictly below every non-identical vector,
+    so it returns at rnk 1 with dist exactly 0.0.  Any regression in
+    encoding, the ADC lookup join, shortlisting, or reranking drops
+    rows and fails the hash check."""
+    from idn_area_etl_spark.plans.docs import _PLANT_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    plants = probes.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(plants.select(*emb.columns))
+    books = pq_fit(emb)
+    codes = pq_encode(corpus, books)
+    res = pq_topk_reranked(
+        probes, corpus, codes, books, k=PQ_TOPK, shortlist=50
+    )
+    return (
+        res.filter(
+            F.col("neighbor_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
+        )
+        .select("query_id", "neighbor_id", "dist", "rnk")
+        .orderBy("query_id")
+    )
+
+
+E_PQ_PLANTED_SQL = """
+SELECT vec_id AS query_id,
+  vec_id + 1000000 AS neighbor_id,
+  CAST(0.0 AS DOUBLE) AS dist,
+  CAST(1 AS INT) AS rnk
+FROM embeddings
+WHERE vec_id % 100 = 0
+ORDER BY query_id
+"""
+
+
 SPECS = [
     QuerySpec("q_sliding_window_users", q_sliding_window_users, Q_SLIDING_SQL,
               doc="2h/1h sliding window distinct users",
@@ -236,5 +282,8 @@ SPECS = [
               tags=("etl", "events")),
     QuerySpec("e_pq_topk", e_pq_topk, None,
               doc="product-quantization ADC ANN (rows-only; pytest recall)",
+              tags=("similarity",)),
+    QuerySpec("e_pq_planted", e_pq_planted, E_PQ_PLANTED_SQL,
+              doc="PQ ADC+rerank recall on planted duplicates (exact oracle)",
               tags=("similarity",)),
 ]

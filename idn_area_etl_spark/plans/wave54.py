@@ -365,6 +365,7 @@ SPECS = [
         "s_dedup_keep_best",
         s_dedup_keep_best,
         S_KEEPBEST_SQL,
+        headline=True,
         doc="keep-longest survivorship over prefix-join near-dup clusters",
         tags=("dedup", "dataset-prep", "graph"),
     ),

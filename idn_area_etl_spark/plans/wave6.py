@@ -305,6 +305,7 @@ ORDER BY bucket
 
 SPECS = [
     QuerySpec("d_dedup_clusters", d_dedup_clusters, D_DEDUP_CLUSTERS_SQL,
+              headline=True,
               doc="connected-components fuzzy-dedup clusters",
               tags=("dedup", "graph")),
     QuerySpec("d_tfidf_top_terms", d_tfidf_top_terms, D_TFIDF_SQL,

@@ -178,6 +178,7 @@ SPECS = [
               doc="count-min sketch heavy hitters vs exact counts",
               tags=("stats",)),
     QuerySpec("d_winnow_pairs", d_winnow_pairs, D_WINNOW_SQL,
+              headline=True,
               doc="winnowed substring-overlap near-dup pairs",
               tags=("dedup",)),
 ]
