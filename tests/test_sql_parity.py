@@ -36,6 +36,9 @@ ANSI_PORTABLE = [
     "a_frequent_triples",
     "g_link_prediction",
     "q_cusum_changepoint",
+    "e_ann_lsh_planted",
+    "e_ann_ivf_planted",
+    "e_pq_planted",
 ]
 
 
