@@ -11,14 +11,31 @@ the same plan runs at any row count.  Iteration count is fixed
 Not expressible in portable SQL (iterative normalization), so the
 registered query is rows-only; tests/test_pca.py pins the direction
 and explained-variance ratio against numpy's eigendecomposition.
+
+Every reduce here is an exact decimal sum (the registry-wide
+determinism rule): a plain double ``F.sum`` depends on partition
+layout through summation order, and on these near-isotropic
+embeddings the top eigenspace is almost degenerate, so per-iteration
+drifts of ~1e-16 ROTATE the returned vector — the full-registry
+invariance sweep caught ``e_top_eigenvector`` returning three
+different vectors under AQE-on / 7-partitions / AQE-off before the
+decimal sums pinned it.  Per-row products stay IEEE doubles
+(deterministic); only the reduction order was ever unstable.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _dsum(col: Column) -> Column:
+    """Order-independent sum of a double column: decimal(38,18)
+    accumulates exactly (values here are O(1); 20 integer digits of
+    headroom), so the result is identical under ANY partitioning."""
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
 
 
 def top_principal_component(
@@ -42,7 +59,7 @@ def top_principal_component(
         dims.groupBy("d")
         .agg(
             F.count("*").alias("n"),
-            F.avg("x").alias("mu"),
+            (_dsum(F.col("x")) / F.count("*")).alias("mu"),
         )
         .orderBy("d")
         .collect()
@@ -94,13 +111,13 @@ def top_principal_component(
         scores = (
             with_id.join(vdf, "d")
             .groupBy("rid")
-            .agg(F.sum(F.col("xc") * F.col("w")).alias("s"))
+            .agg(_dsum(F.col("xc") * F.col("w")).alias("s"))
         )
         # (Cov v)_d = (1/n) sum_r x_rd * s_r  (one reduce per dim)
         new = (
             with_id.join(scores, "rid")
             .groupBy("d")
-            .agg((F.sum(F.col("xc") * F.col("s")) / n_rows).alias("cv"))
+            .agg((_dsum(F.col("xc") * F.col("s")) / n_rows).alias("cv"))
             .orderBy("d")
             .collect()
         )
@@ -111,7 +128,7 @@ def top_principal_component(
     # total variance = mean of per-dim variances summed
     total_var = (
         centered.select((F.col("xc") * F.col("xc")).alias("x2"))
-        .agg((F.sum("x2") / n_rows).alias("tv"))
+        .agg((_dsum(F.col("x2")) / n_rows).alias("tv"))
         .collect()[0]["tv"]
     )
     # sign convention: first nonzero coordinate positive
