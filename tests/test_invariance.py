@@ -66,6 +66,7 @@ INVARIANCE_SPECS = [
     "p_curation_pipeline",     # flagship composition
     "q_session_window_native", # plain partitioned window (control)
     "q1_pricing_summary",      # plain hash aggregate (control)
+    "e_top_eigenvector",       # r4 sweep catch: decimal-sum power iteration
 ]
 
 _CONFIGS = [
