@@ -91,13 +91,21 @@ def facility_location_select(
                 .filter(~F.col("j").isin(selected))
                 .groupBy("j")
                 .agg(
+                    # exact decimal sums: the greedy argmax compares
+                    # these gains, so layout-dependent double
+                    # summation could flip a selection (see SCALE.md,
+                    # e_top_eigenvector bug class)
                     F.sum(
                         F.greatest(F.col("sim") - F.col("cov"), F.lit(0.0))
-                    ).alias("gain")
+                        .cast("decimal(38,18)")
+                    ).cast("double").alias("gain")
                 )
             )
         else:
-            gain = sims.groupBy("j").agg(F.sum("sim").alias("gain"))
+            gain = sims.groupBy("j").agg(
+                F.sum(F.col("sim").cast("decimal(38,18)"))
+                .cast("double").alias("gain")
+            )
         best = gain.orderBy(F.desc("gain"), "j").first()
         if best is None:  # k exceeds the number of vectors
             break
@@ -106,7 +114,10 @@ def facility_location_select(
             sims.filter(F.col("j").isin(selected))
             .groupBy("i")
             .agg(F.max("sim").alias("cov"))
-            .agg(F.sum("cov").alias("obj"))
+            .agg(
+                F.sum(F.col("cov").cast("decimal(38,18)"))
+                .cast("double").alias("obj")
+            )
             .first()["obj"]
         )
         rows.append((step, int(best["j"]), round(float(obj), 6)))

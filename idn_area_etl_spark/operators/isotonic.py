@@ -146,7 +146,13 @@ def fit_isotonic_binned(
         F.count("*").alias("n"),
         F.min("score").alias("lo_score"),
         F.max("score").alias("hi_score"),
-        F.avg("y").alias("my"),
+        # exact decimal mean: PAVA pooling decisions compare these
+        # values, so layout-dependent double summation could flip a
+        # pool merge (see SCALE.md, e_top_eigenvector bug class)
+        (
+            F.sum(F.col("y").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("my"),
     )
 
     schema = StructType(

@@ -140,7 +140,16 @@ def kmeans_fit(
         means = (
             assigned.select("cluster_id", F.posexplode("_vec").alias("dim", "v"))
             .groupBy("cluster_id", "dim")
-            .agg(F.avg("v").alias("m"))
+            # exact decimal sum: a double F.avg depends on partition
+            # layout through summation order, which drifts the
+            # centroids (and thus assignments) across AQE/partition
+            # configs — the e_top_eigenvector bug class (SCALE.md)
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
             .collect()
         )
         per_cluster: dict[int, dict[int, float]] = {}

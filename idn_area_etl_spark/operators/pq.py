@@ -97,7 +97,14 @@ def pq_fit(
                 "sub", "cluster_id", F.posexplode("subvec").alias("dim", "v")
             )
             .groupBy("sub", "cluster_id", "dim")
-            .agg(F.avg("v").alias("m"))
+            # exact decimal sum — order-independent under any
+            # partitioning (see SCALE.md, e_top_eigenvector bug class)
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
             .groupBy("sub", "cluster_id")
             .agg(
                 F.transform(
