@@ -72,6 +72,7 @@ INVARIANCE_SPECS = [
 _CONFIGS = [
     ("parts7", {"spark.sql.shuffle.partitions": "7"}),
     ("no_aqe", {"spark.sql.adaptive.enabled": "false"}),
+    ("no_broadcast", {"spark.sql.autoBroadcastJoinThreshold": "-1"}),
 ]
 
 

@@ -10,6 +10,8 @@ runs under three session configurations —
    different physical layouts for every exchange),
 3. AQE fully disabled (no runtime coalescing / skew splitting, so
    plan shapes themselves differ),
+4. auto-broadcast disabled (every non-hinted equi-join becomes
+   sort-merge — a different join-strategy plan space),
 
 and the canonicalized result (rows sorted, columns name-sorted, the
 same normalization the DuckDB oracle compare uses) must hash
@@ -41,6 +43,14 @@ CONFIGS: list[tuple[str, dict]] = [
     (
         "no_aqe",
         {"extra_conf": {"spark.sql.adaptive.enabled": "false"}},
+    ),
+    (
+        # forces every equi-join to sort-merge (explicit broadcast()
+        # hints still apply) — a genuinely different plan space, so
+        # any value that depends on join strategy or build-side
+        # iteration order shows up here
+        "no_broadcast",
+        {"extra_conf": {"spark.sql.autoBroadcastJoinThreshold": "-1"}},
     ),
 ]
 
