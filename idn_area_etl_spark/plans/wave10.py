@@ -15,9 +15,12 @@
   algebraically from `octet_length(text)`.
 - **Frame sampling** (`operators/multimodal.py:frame_sample`): 1→N
   Arrow-batched expansion running the real WAV codec over encoded
-  document audio — rows-only driver check (digests aren't
-  SQL-expressible); window digests pinned against local slices in
-  pytest, counts pinned by the `mm_codec_roundtrip` oracle.
+  document audio — oracle-checked since r4: frame geometry
+  (count / frame_no / ts_ms) is pinned algebraically by DuckDB, and
+  the MD5 digests are cross-checked in-plan against Spark's native
+  ``md5(substring())`` of the same canonical-WAV byte windows
+  (`digest_ok` all-TRUE in the oracle); window digests additionally
+  pinned against local slices in pytest.
 - **NFC normalization** (`operators/text.py:nfc_normalize_udf`): the
   deliberate pandas_udf showcase (no native Spark expression exists);
   oracle = DuckDB ``nfc_normalize`` (both sides implement UAX#15 —
@@ -187,14 +190,77 @@ FROM derived ORDER BY doc_id
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Real WAV frame sampling over encoded document audio; rows-only
-    # driver check (frame digests aren't SQL-expressible) — the frame
-    # COUNTS are oracle-pinned by mm_codec_roundtrip.
+    """Real WAV frame sampling over encoded document audio, made
+    oracle-checkable (was rows-only until r4): frame geometry
+    (count / frame_no / ts_ms) is algebraic in the document's UTF-8
+    byte length and the per-doc sample rate, so DuckDB pins it
+    exactly; the MD5 digests (not SQL-expressible — DuckDB lacks
+    blob md5) are instead cross-checked IN the plan against a second,
+    independent implementation — Spark's native ``md5(substring())``
+    over the same canonical-WAV byte windows (PCM starts at byte 45:
+    12-byte RIFF + 24-byte fmt + 8-byte data header) — and reported
+    as a ``digest_ok`` column the oracle expects to be all-TRUE.  A
+    regression in the Pandas-UDF codec path (window offsets, header
+    parsing, digesting) flips digest_ok or moves ts_ms and fails the
+    hash check."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = _encode_docs_as_media(docs)
-    return frame_sample(
-        media.select("doc_id", F.col("wav").alias("payload")), n_samples=4
-    ).orderBy("doc_id", "frame_no")
+    wav = media.select("doc_id", F.col("wav").alias("payload"))
+    frames = frame_sample(wav, n_samples=4, window_ms=5)
+
+    # native recomputation of each frame's byte window (mirrors
+    # operators/multimodal.frame_sample's WAV arithmetic, ba=2)
+    lens = docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).alias("_nbytes"),
+    )
+    j = frames.join(wav, "doc_id").join(lens, "doc_id")
+    rate = (F.lit(8000) + (F.col("doc_id") % 3) * F.lit(4000)).cast("long")
+    win = F.floor(rate * 5 / 1000).cast("long") * 2
+    l2 = (F.col("_nbytes") - F.col("_nbytes") % 2).cast("long")
+    n_avail = F.greatest(F.lit(1).cast("long"), F.floor(l2 / win))
+    kf = F.least(F.lit(4).cast("long"), n_avail)
+    off = F.floor(F.col("frame_no") * n_avail / kf) * win
+    native_md5 = F.md5(
+        F.col("payload").substr(
+            (off + 45).cast("int"), win.cast("int")
+        )
+    )
+    return (
+        j.select(
+            "doc_id",
+            "frame_no",
+            "ts_ms",
+            (F.col("frame_md5") == native_md5).alias("digest_ok"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    octet_length(encode(text)) - octet_length(encode(text)) % 2 AS l2,
+    8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents WHERE doc_id < 50
+),
+geom AS (
+  SELECT doc_id, rate, l2, (rate * 5 // 1000) * 2 AS win FROM base
+),
+kk AS (
+  SELECT doc_id, rate, win,
+    GREATEST(1, l2 // win) AS n_avail,
+    LEAST(4, GREATEST(1, l2 // win)) AS k
+  FROM geom
+)
+SELECT doc_id,
+  CAST(j AS INT) AS frame_no,
+  CAST((((j * n_avail // k) * win // 2) * 1000) // rate AS BIGINT) AS ts_ms,
+  TRUE AS digest_ok
+FROM kk, generate_series(0, 3) AS t(j)
+WHERE j < k
+ORDER BY doc_id, frame_no
+"""
 
 
 def d_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,9 +340,10 @@ SPECS = [
               doc="real WAV/BMP encode→decode round-trip, header fields "
                   "oracle-pinned from UTF-8 byte lengths",
               tags=("multimodal",)),
-    QuerySpec("mm_frame_sample", mm_frame_sample, None,
-              doc="Arrow-batched 1→N PCM frame sampling (real WAV codec, "
-                  "rows-only; counts pinned by mm_codec_roundtrip)",
+    QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_SQL,
+              doc="Arrow-batched 1→N PCM frame sampling (real WAV codec; "
+                  "geometry oracle-pinned, digests cross-checked vs "
+                  "native md5(substring))",
               tags=("multimodal",)),
     QuerySpec("d_unicode_nfc", d_unicode_nfc, D_UNICODE_NFC_SQL,
               doc="pandas_udf NFC normalization vs DuckDB nfc_normalize",
