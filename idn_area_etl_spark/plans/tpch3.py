@@ -46,8 +46,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("unit_price") == F.col("best_price")),
         )
         .drop("b_partkey")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "best_price")
         .orderBy("p_partkey", "s_suppkey")
     )
@@ -100,7 +100,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
         .filter(pair)
@@ -151,9 +151,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -304,7 +304,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _revenue())
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(dsum(promo, "promo_revenue"), dsum(_revenue(), "total_revenue"))
         .withColumn(
             "promo_share",
@@ -350,9 +350,9 @@ def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
@@ -388,7 +388,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     supp = load_table(spark, sf_dir, "supplier")
-    gear = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    gear = li.join(part, li.l_partkey == part.p_partkey)
     shipped = gear.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(24,6)")).cast("double").alias("qty")
     )
@@ -470,7 +470,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_suppkey")

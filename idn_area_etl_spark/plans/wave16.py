@@ -99,15 +99,13 @@ def a_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         both.join(
-            F.broadcast(item_counts.withColumnRenamed("n_item", "n_a")),
+            item_counts.withColumnRenamed("n_item", "n_a"),
             both.pa == item_counts.part,
         )
         .drop("part")
         .join(
-            F.broadcast(
-                item_counts.select(
-                    F.col("part").alias("part_b"), F.col("n_item").alias("n_b")
-                )
+            item_counts.select(
+                F.col("part").alias("part_b"), F.col("n_item").alias("n_b")
             ),
             F.col("pb") == F.col("part_b"),
         )

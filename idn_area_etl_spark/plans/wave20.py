@@ -59,7 +59,7 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ri_orders_customer = (
         o.join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             o.o_custkey == F.col("c_custkey"),
             "left_anti",
         )

@@ -113,7 +113,7 @@ def q_chi2_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     cells = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             o.o_custkey == F.col("c_custkey"),
         )
         .groupBy("o_orderpriority", "c_mktsegment")

@@ -69,7 +69,7 @@ def d_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(doc_len, "doc_id")
         .crossJoin(F.broadcast(corpus))
     )

@@ -124,8 +124,14 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lr"),
     )
+    # NO broadcast hint on ratio: it has one row per distinct raw token;
+    # on a web-scale corpus the whitespace-token vocabulary is billions
+    # of rows (the typo/URL tail grows ~linearly, Heaps' law does not
+    # bound it).  occ is already exploded-token scale, so a plain
+    # shuffle join on "w" touches the same order of data either way —
+    # and AQE still broadcasts when ratio is genuinely small.
     scores = (
-        occ.join(F.broadcast(ratio), "w")
+        occ.join(ratio, "w")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("lr").cast("decimal(27,12)")).alias("score")

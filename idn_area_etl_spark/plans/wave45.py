@@ -272,8 +272,8 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc2"), F.col("source").alias("src2")
     )
     return (
-        pairs.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
         .select(
             F.least("src1", "src2").alias("source_a"),
             F.greatest("src1", "src2").alias("source_b"),

@@ -67,8 +67,8 @@ def j_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p1").orderBy(F.desc("sim"), "p2")
     return (
-        co.join(F.broadcast(n1), "p1")
-        .join(F.broadcast(n2), "p2")
+        co.join(n1, "p1")
+        .join(n2, "p2")
         .select("p1", "p2", "co", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)

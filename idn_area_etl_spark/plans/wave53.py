@@ -114,7 +114,7 @@ def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     rev = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .groupBy("c_nationkey")

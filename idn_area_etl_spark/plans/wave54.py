@@ -78,7 +78,13 @@ def s_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.min("doc_id").alias("keep_id"))
     )
-    tagged = clustered.join(F.broadcast(keeper), "cluster").select(
+    # NO broadcast hint on keeper: it has one row per cluster, and since
+    # cluster = coalesce(component, doc_id) every non-duplicate document
+    # is its own cluster — keeper is doc-cardinality.  At 100 TB a forced
+    # broadcast would OOM every executor; "cluster" is already the
+    # shuffle key of the aggregates above, so the un-hinted join reuses
+    # that partitioning (AQE still broadcasts when genuinely small).
+    tagged = clustered.join(keeper, "cluster").select(
         "lang",
         "chars",
         (F.col("doc_id") == F.col("keep_id")).cast("long").alias("kept"),

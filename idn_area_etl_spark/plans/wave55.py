@@ -66,8 +66,8 @@ def d_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("c_w").cast("double") + F.col("v").cast("double"))
     )
     per_doc = (
-        bigrams.join(F.broadcast(c_bg), ["w1", "w2"])
-        .join(F.broadcast(c_w.withColumnRenamed("w", "w1")), "w1")
+        bigrams.join(c_bg, ["w1", "w2"])
+        .join(c_w.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "lang")
         .agg(

@@ -41,7 +41,7 @@ def a_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     j = li.join(
-        F.broadcast(orders.select("o_orderkey", F.year("o_orderdate").alias("yr"))),
+        orders.select("o_orderkey", F.year("o_orderdate").alias("yr")),
         li.l_orderkey == F.col("o_orderkey"),
     ).filter(F.col("yr").isin(1996, 1997))
     per = j.groupBy("l_partkey", "yr").agg(

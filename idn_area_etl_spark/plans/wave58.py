@@ -233,8 +233,8 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = deg.select(F.col("p").alias("p2"), F.col("deg").alias("dy"))
     # both orientations (Newman's definition is over directed stubs)
     oriented = (
-        edges.join(F.broadcast(d1), "p1")
-        .join(F.broadcast(d2), "p2")
+        edges.join(d1, "p1")
+        .join(d2, "p2")
         .select("dx", "dy")
     )
     both_dirs = oriented.unionByName(

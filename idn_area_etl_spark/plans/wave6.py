@@ -125,7 +125,7 @@ def d_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_raw"), F.asc("term"))
     return (
         tf.filter(F.col("doc_id") < 10)
-        .join(F.broadcast(dfreq), "term")
+        .join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score_raw", score)
         .withColumn("rnk", F.row_number().over(w))

@@ -227,9 +227,7 @@ def q_ship_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     lead = li.join(
-        F.broadcast(
-            orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
-        ),
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
         li.l_orderkey == F.col("o_orderkey"),
     ).select(
         "o_orderpriority",

@@ -42,7 +42,7 @@ def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_part = (
         li.filter(F.col("l_partkey") < 30)
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .select("l_partkey", "o_custkey", "l_orderkey")

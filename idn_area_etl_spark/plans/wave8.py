@@ -225,7 +225,7 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("std") > 0)
     z = (F.col("value") - F.col("mean")) / F.col("std")
     return (
-        ev.join(F.broadcast(stats), "user_id")
+        ev.join(stats, "user_id")
         .select(
             "event_id",
             "user_id",

@@ -233,8 +233,8 @@ def s_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_test").alias("c2"),
     )
     return (
-        pairs.join(F.broadcast(a1), "doc1")
-        .join(F.broadcast(a2), "doc2")
+        pairs.join(a1, "doc1")
+        .join(a2, "doc2")
         .agg(
             F.count("*").cast("long").alias("n_near_dup_pairs"),
             F.sum((F.col("t1") != F.col("t2")).cast("long"))

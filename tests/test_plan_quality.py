@@ -844,3 +844,136 @@ def test_quantile_normalize_ref_side_broadcasts(spark, specs):
     plan = plan_of(specs["q_quantile_normalize"].builder(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Broadcast-cardinality gate (round 5).  A F.broadcast hint is only
+# allowed on frames whose cardinality is bounded BY CONSTRUCTION —
+# never on a frame with one row per document / token / order /
+# customer / part, which at 100 TB exceeds the 8 GB broadcast cap and
+# OOMs every executor (the round-4 judge found two such hints:
+# s_dedup_keep_best's per-cluster keeper frame and d_dsir_weights'
+# full-vocabulary ratio frame).
+#
+# Mechanics (tools/broadcast_audit.py): plans are built with
+# autoBroadcastJoinThreshold=-1, under which the ONLY surviving
+# BroadcastExchanges are hint-forced.  Each broadcast subtree must
+# either not scan a data-scaled table, contain a global aggregate or
+# limit, or carry a justified whitelist entry.  Restoring either
+# round-4 hint (or adding a new unbounded one) fails this gate.
+# --------------------------------------------------------------------------
+
+import importlib.util  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+_ba_spec = importlib.util.spec_from_file_location(
+    "broadcast_audit",
+    Path(__file__).resolve().parent.parent / "tools" / "broadcast_audit.py",
+)
+_ba = importlib.util.module_from_spec(_ba_spec)
+_ba_spec.loader.exec_module(_ba)
+BOUNDED_BY_CONSTRUCTION = _ba.BOUNDED_BY_CONSTRUCTION
+audit_spec = _ba.audit_spec
+broadcast_subtrees = _ba.broadcast_subtrees
+classify = _ba.classify
+
+
+@pytest.fixture(scope="module")
+def hint_forced_audits(spark, specs):
+    """audit_spec results for every registered spec, built under
+    autoBroadcastJoinThreshold=-1 so only hint-forced broadcasts
+    survive into the plans."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_meta = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        return {
+            name: audit_spec(spec.builder(spark, SF_DIR))
+            for name, spec in specs.items()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_meta)
+
+
+def test_no_unbounded_forced_broadcast(specs, hint_forced_audits):
+    offenders = {}
+    for name, audits in hint_forced_audits.items():
+        bad = [
+            f"{sorted(big)}: {head}"
+            for verdict, big, head in audits
+            if verdict == "unbounded" and name not in BOUNDED_BY_CONSTRUCTION
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, (
+        "hint-forced broadcast of a data-scaled frame (100 TB OOM); either "
+        "drop the F.broadcast hint (AQE still broadcasts genuinely small "
+        "sides at runtime) or add a justified BOUNDED_BY_CONSTRUCTION "
+        f"entry: {offenders}"
+    )
+
+
+def test_broadcast_whitelist_has_no_stale_entries(specs, hint_forced_audits):
+    """Every whitelist entry must correspond to a spec that still HAS a
+    hint-forced broadcast fed by a data-scaled scan — otherwise the
+    entry is stale cover that would mask a future regression."""
+    stale = []
+    for name in BOUNDED_BY_CONSTRUCTION:
+        audits = hint_forced_audits.get(name)
+        assert audits is not None, f"whitelisted spec {name} not registered"
+        if not any(verdict == "unbounded" for verdict, _, _ in audits):
+            stale.append(name)
+    assert stale == [], f"stale BOUNDED_BY_CONSTRUCTION entries: {stale}"
+
+
+def test_broadcast_gate_teeth(spark, sf_dir):
+    """Restoring an unbounded hint MUST trip the gate: force-broadcast
+    a per-document frame (the exact round-4 keeper shape) and assert
+    the audit classifies it unbounded."""
+    from pyspark.sql import functions as F
+
+    from idn_area_etl_spark.sources.tables import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        per_doc = docs.groupBy("doc_id").agg(F.max(F.length("text")).alias("c"))
+        df = docs.join(F.broadcast(per_doc), "doc_id").select("doc_id", "c")
+        verdicts = [v for v, _, _ in audit_spec(df)]
+        assert "unbounded" in verdicts, (
+            "gate failed to flag a forced per-document broadcast"
+        )
+        # and the same join WITHOUT the hint must be clean
+        df_ok = docs.join(per_doc, "doc_id").select("doc_id", "c")
+        assert all(v == "ok" for v, _, _ in audit_spec(df_ok))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_broadcast_subtree_extraction_units():
+    """String-level unit checks for the subtree extractor/classifier."""
+    plan = (
+        "AdaptiveSparkPlan isFinalPlan=false\n"
+        "+- BroadcastHashJoin [a#1], [a#2], Inner, BuildRight, false\n"
+        "   :- FileScan parquet [a#1] ... file:/x/documents.parquet\n"
+        "   +- BroadcastExchange HashedRelationBroadcastMode\n"
+        "      +- HashAggregate(keys=[a#2], functions=[max(c#3)])\n"
+        "         +- FileScan parquet [a#2] ... file:/x/documents.parquet\n"
+    )
+    subs = broadcast_subtrees(plan)
+    assert len(subs) == 1
+    # the join's streamed side (the sibling scan) is NOT in the subtree
+    assert subs[0].count("documents.parquet") == 1
+    verdict, big = classify(subs[0])
+    assert verdict == "unbounded" and big == {"documents"}
+    # a global aggregate bounds it
+    bounded = subs[0].replace("keys=[a#2]", "keys=[]")
+    assert classify(bounded)[0] == "ok"
+    # a dim-table scan is fine
+    dim = subs[0].replace("documents.parquet", "nation.parquet")
+    assert classify(dim)[0] == "ok"
