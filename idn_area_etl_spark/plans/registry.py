@@ -191,44 +191,48 @@ def all_specs() -> dict[str, QuerySpec]:
         # fixed this round (array<double> -> scalar p25/p50/p75)
         "q_percentiles",
     ]
-    # Round-4 rotation: never driver-checked in r01∪r02∪r03; all verified
-    # green against the local oracle harness at sf0.01 before pinning.
-    # Weighted toward the heaviest machinery touched by the round-3
-    # fixes: 23 specs exercise the ranks.py distributed-window helpers
-    # (post-AQE-layout fix), g_degree_assortativity carries the ANSI
-    # divide fix, and the three *_planted specs are the new
-    # oracle-checkable ANN recall rows (VERDICT r3 item 3) — one per
-    # ANN engine (sign-LSH, IVF, PQ ADC+rerank).
+    # Round-5 rotation: never driver-checked in r01∪r02∪r03∪r04; all
+    # verified green against the local oracle harness at sf0.01 before
+    # pinning.  Weighted toward the machinery the round-5
+    # broadcast-cardinality fixes touched: d_dsir_weights is one of the
+    # two specs whose unbounded forced broadcast was removed (the other,
+    # s_dedup_keep_best, was driver-checked in r4 and stays covered by
+    # pytest + invariance); most of the rest either had a data-scaled
+    # F.broadcast hint deleted (plans now shuffle-join / AQE-decide) or
+    # carry a BOUNDED_BY_CONSTRUCTION whitelist entry the new plan gate
+    # certifies — so the driver hash-checks exactly the plans that
+    # changed.  mm_frame_sample is the round-4 rows-only→oracle
+    # conversion, never yet driver-seen.
     rotation = [
-        "e_ann_lsh_planted",
-        "e_ann_ivf_planted",
-        "e_pq_planted",
-        "q_scd2_priority",
-        "q_max_concurrency",
-        "q_rolling_median_revenue",
-        "q_event_transitions",
-        "q_k_anonymity",
-        "q_skyline_customers",
-        "q_mad_outliers",
-        "q_journey_patterns",
-        "q_ratio_to_report",
-        "q_rank_movers",
-        "q_pareto_coverage",
-        "a_model_auc",
-        "q_ks_two_sample",
-        "q_quantile_normalize",
-        "a_spearman_corr",
-        "g_degree_assortativity",
-        "a_cumulative_gains",
-        "a_rank_biserial",
-        "q_quarter_hockey",
-        "s_cluster_aware_split",
-        "a_wilcoxon_signed",
-        "d_freq_spectrum",
-        "g_top_triangles",
-        "s_rag_chunking",
-        "a_theil_index",
-        "a_borda_ranking",
+        "d_dsir_weights",
+        "mm_frame_sample",
+        "q_value_outliers",
+        "a_association_rules",
+        "q_data_quality_report",
+        "q_chi2_priority_segment",
+        "q_moment_stats",
+        "q_winsorized_means",
+        "q_loyal_customers",
+        "e_mrl_prefix_topk",
+        "d_source_overlap",
+        "s_purged_time_folds",
+        "a_kendall_tau",
+        "e_embedding_outliers",
+        "d_quality_buckets",
+        "a_price_indices",
+        "a_markov_entropy_rate",
+        "e_quantization_error",
+        "a_rec_coverage",
+        "a_shapley_attribution",
+        "a_two_proportion_ztest",
+        "s_target_encoding_loo",
+        "a_simpsons_check",
+        "q_ship_lead_time",
+        "q_repeat_purchase_rate",
+        "d_vocab_overlap",
+        "s_length_matched_sample",
+        "a_brown_forsythe",
+        "a_countmin_users",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]
