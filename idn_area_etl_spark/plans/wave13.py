@@ -3,10 +3,13 @@
 - **HLL sketch merge** — the pre-aggregation architecture for 100 TB:
   per-day Datasketches HLL sketches (`hll_sketch_agg`) merged with
   `hll_union_agg` give the multi-day distinct estimate WITHOUT
-  re-touching raw rows.  Sketch bytes are engine-specific → rows-only
-  driver check; pytest certifies the lossless-merge property (merged
-  estimate == direct whole-range estimate, exactly) and <5% error vs
-  exact.
+  re-touching raw rows.  Sketch bytes are engine-specific, so the
+  oracle-checked output emits in-plan booleans (digest_ok pattern):
+  merged and direct estimates within 5% of exact, and the two
+  estimators within 2% of each other (NOT exactly equal — a streamed
+  sketch uses the HIP estimator, a union result the composite
+  estimator; they coincide only in sparse mode), alongside the exact
+  distinct counts DuckDB re-computes.
 - **Native session_window** — Spark's built-in session assignment,
   oracle-checked against the lag/cumsum SQL formulation: proves the
   built-in's merge semantics (gap-strict) equal the classic manual
@@ -23,8 +26,8 @@ from idn_area_etl_spark.sources.tables import load_table
 
 
 def a_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event_type from merged per-day sketches,
-    alongside the direct sketch and the exact count.
+    """Distinct users per event_type: merged per-day sketches validated
+    in-plan against the direct sketch and the exact count.
 
     Scale: daily sketches are tiny fixed-size binaries computed with
     map-side combine; the merge is O(days · sketch_size) — the
@@ -41,7 +44,54 @@ def a_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    return merged.join(direct, "event_type").orderBy("event_type")
+    # Raw estimates are engine-specific, so the oracle-checked output
+    # follows the mm_frame_sample digest_ok pattern: the plan compares
+    # them in-plan and emits booleans DuckDB pins TRUE alongside the
+    # exact distinct counts it re-computes.  NOTE the merge is NOT
+    # estimate-lossless once the sketch leaves sparse mode: a streamed
+    # sketch estimates with the HIP estimator, while a union result
+    # falls back to the composite estimator over the same registers —
+    # at sf0.1 they differ by ~0.4% (discovered converting this spec
+    # from rows-only; the earlier "exact equality" claim held at tiny
+    # SFs only because sparse mode is exact).  The true invariants:
+    # both estimates land in the lgK=12 accuracy envelope (~1.6%
+    # stderr; 5% ≈ 3σ) and the two estimators agree within 2%.  All
+    # checks are deterministic — the sketch hash is data-fixed.
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_merged") - F.col("est_direct"))
+                / F.col("est_direct")
+                <= 0.02
+            ).alias("estimators_agree_2pct"),
+            (
+                F.abs(F.col("est_merged") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("merged_within_5pct"),
+            (
+                F.abs(F.col("est_direct") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("direct_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A_HLL_MERGE_SQL = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS estimators_agree_2pct,
+  TRUE AS merged_within_5pct,
+  TRUE AS direct_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,8 +136,9 @@ ORDER BY user_id, session_start
 
 
 SPECS = [
-    QuerySpec("a_hll_merge_daily", a_hll_merge_daily, None,
-              doc="mergeable HLL sketches: daily → merged estimate (rows-only)",
+    QuerySpec("a_hll_merge_daily", a_hll_merge_daily, A_HLL_MERGE_SQL,
+              doc="mergeable HLL sketches: lossless-merge + 5%-error "
+                  "booleans vs exact distinct (digest_ok pattern)",
               tags=("stats",)),
     QuerySpec("q_session_window_native", q_session_window_native,
               Q_SESSION_WINDOW_SQL,

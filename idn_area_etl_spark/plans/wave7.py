@@ -77,24 +77,56 @@ LIMIT 50
 
 def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna quantile sketch of extended price per return
-    flag, alongside the exact median.
+    flag, validated in-plan against the exact percentiles.
 
     Scale: the sketch is bounded-memory and mergeable (map-side
-    partial), replacing the full sort exact percentiles need.  Sketch
-    internals differ per engine → rows-only driver check; pytest
-    certifies each estimate against the exact percentile within the
-    sketch's accuracy bound.
+    partial), replacing the full sort exact percentiles need.  The raw
+    estimate is engine-specific, so the oracle-checked output follows
+    the ``mm_frame_sample`` ``digest_ok`` pattern: the plan itself
+    compares each estimate to the exact percentiles at rank ±5/accuracy
+    (5× the GK guarantee of 1/accuracy rank error, merge-order-proof)
+    and emits within-bound BOOLEANS plus the exact median — DuckDB pins
+    the exact median and asserts the booleans are all TRUE.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
-            F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("approx_p99"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        )
-        .orderBy("l_returnflag")
+    acc = 10_000
+    slack = 5.0 / acc  # 5× the guaranteed rank error, layout-proof
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(acc)
+        ).alias("ap50"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.99), F.lit(acc)
+        ).alias("ap99"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("x50"),
+        F.expr(f"percentile(l_extendedprice, {0.5 - slack})").alias("lo50"),
+        F.expr(f"percentile(l_extendedprice, {0.5 + slack})").alias("hi50"),
+        F.expr(f"percentile(l_extendedprice, {0.99 - slack})").alias("lo99"),
+        F.expr(f"percentile(l_extendedprice, {min(1.0, 0.99 + slack)})").alias(
+            "hi99"
+        ),
     )
+    return agg.select(
+        "l_returnflag",
+        F.round("x50", 6).alias("exact_p50"),
+        (
+            (F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50"))
+        ).alias("p50_in_bounds"),
+        (
+            (F.col("ap99") >= F.col("lo99")) & (F.col("ap99") <= F.col("hi99"))
+        ).alias("p99_in_bounds"),
+    ).orderBy("l_returnflag")
+
+
+A_QUANTILE_SKETCH_SQL = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+  TRUE AS p50_in_bounds,
+  TRUE AS p99_in_bounds
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,8 +173,9 @@ SPECS = [
               S_WEIGHTED_SAMPLE_SQL,
               doc="deterministic weighted (length-proportional) sample",
               tags=("sampling",)),
-    QuerySpec("a_quantile_sketch", a_quantile_sketch, None,
-              doc="GK quantile sketch vs exact median (rows-only)",
+    QuerySpec("a_quantile_sketch", a_quantile_sketch, A_QUANTILE_SKETCH_SQL,
+              doc="GK quantile sketch: in-plan rank-error bound check vs "
+                  "exact percentiles (digest_ok pattern)",
               tags=("stats",)),
     QuerySpec("q_zorder_events", q_zorder_events, Q_ZORDER_SQL,
               doc="Z-order clustering keys (bit-interleave parity)",
