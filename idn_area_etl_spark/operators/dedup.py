@@ -17,7 +17,9 @@ aggregate/transform) — no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from contextlib import contextmanager
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Mersenne-ish prime keeping (P-1)*A + B within int64.
@@ -54,26 +56,81 @@ def _stage(df: DataFrame) -> DataFrame:
 
     to ``persist`` (recomputable lineage kept, unpersistable) or
     ``checkpoint`` (reliable checkpoint to ``sc.setCheckpointDir``'s
-    fault-tolerant storage)."""
+    fault-tolerant storage).  For a MECHANICAL release of the staged
+    blocks — so a long-lived session calling many staged operators
+    doesn't accumulate pinned full-data copies — wrap the calls in
+    :func:`staged_scope`, which forces ``persist`` mode for its
+    duration and unpersists every frame staged inside it on exit."""
     from pyspark.storagelevel import StorageLevel
 
     mode = df.sparkSession.conf.get(
         "spark.idnareaetl.stageMaterialization", "localCheckpoint"
     )
     if mode == "persist":
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-    if mode == "checkpoint":
-        return df.checkpoint(eager=False)
-    if mode != "localCheckpoint":
+        staged = df.persist(StorageLevel.MEMORY_AND_DISK)
+    elif mode == "checkpoint":
+        staged = df.checkpoint(eager=False)
+    elif mode == "localCheckpoint":
+        staged = df.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    else:
         # a typo ('Persist', 'persistent') must not silently fall back
         # to the lineage-truncating mode the caller was opting OUT of
         raise ValueError(
             "spark.idnareaetl.stageMaterialization must be one of "
             f"'localCheckpoint', 'persist', 'checkpoint'; got {mode!r}"
         )
-    return df.localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    if _STAGE_SCOPES:
+        _STAGE_SCOPES[-1].append(staged)
+    return staged
+
+
+#: Stack of active :func:`staged_scope` buckets; :func:`_stage` appends
+#: every frame it materializes to the innermost one.
+_STAGE_SCOPES: list[list[DataFrame]] = []
+
+
+@contextmanager
+def staged_scope(spark: SparkSession):
+    """Bound the lifetime of staged intermediates to a ``with`` block.
+
+    Inside the block, ``stageMaterialization`` is forced to ``persist``
+    (recomputable lineage — the only mode whose blocks CAN be released:
+    a lazy ``localCheckpoint`` truncates lineage and exposes no
+    unpersist hook, its blocks live until RDD garbage collection).  On
+    exit, every frame staged inside the block is unpersisted, so
+    long-lived sessions (notebooks, services) can call rank helpers and
+    dedup sketch builders repeatedly without accumulating pinned
+    full-dataset copies::
+
+        with staged_scope(spark):
+            ranked = global_row_number(df, [F.col("k")]).collect()
+        # staged blocks released here
+
+    Results must be consumed (or themselves persisted) inside the
+    block: after exit a returned DataFrame recomputes its staged
+    lineage from scratch on the next action — correct, just no longer
+    cached.  Scopes nest; each releases only its own frames.  The
+    previous ``stageMaterialization`` setting is restored on exit.
+    """
+    prev = spark.conf.get("spark.idnareaetl.stageMaterialization", None)
+    spark.conf.set("spark.idnareaetl.stageMaterialization", "persist")
+    bucket: list[DataFrame] = []
+    _STAGE_SCOPES.append(bucket)
+    try:
+        yield
+    finally:
+        _STAGE_SCOPES.pop()
+        if prev is None:
+            spark.conf.unset("spark.idnareaetl.stageMaterialization")
+        else:
+            spark.conf.set("spark.idnareaetl.stageMaterialization", prev)
+        for staged in bucket:
+            try:
+                staged.unpersist()
+            except Exception:  # noqa: BLE001 — best-effort release
+                pass
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:

@@ -44,6 +44,11 @@ preemptible/spot clusters set
 ``"checkpoint"`` (reliable checkpoint to ``sc.setCheckpointDir``'s
 fault-tolerant storage) — same escape hatch, same trade-offs as
 documented on :func:`idn_area_etl_spark.operators.dedup._stage`.
+For a mechanical release, wrap helper calls in
+:func:`idn_area_etl_spark.operators.dedup.staged_scope`: it forces
+``persist`` mode for the block's duration and unpersists every staged
+frame on exit, so repeated helper calls in a long-lived session don't
+accumulate pinned copies.
 
 Reference semantics: SQL window functions over a global ORDER BY
 (reference engines run these single-node; this is the 1000-executor

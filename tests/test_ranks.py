@@ -173,3 +173,86 @@ def test_offset_histogram_reads_staged_layout(spark):
     # no live range exchange remains in the executed plan
     assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+# --------------------------------------------------------------------------
+# staged_scope: mechanical release of staged blocks (round 5).
+# --------------------------------------------------------------------------
+
+
+def _stored_rdd_ids(spark) -> set[int]:
+    """Ids of RDDs with blocks currently stored on executors."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return {info.id() for info in infos}
+
+
+def test_staged_scope_releases_blocks_and_restores_conf(spark):
+    """Inside a staged_scope the rank helper's staged frame holds
+    stored blocks; on exit they are unpersisted and the
+    stageMaterialization conf is restored — so long-lived sessions
+    don't accumulate pinned full-data copies.  Results computed inside
+    the scope stay correct, and the same helper re-run after the scope
+    (default localCheckpoint mode) still matches."""
+    from idn_area_etl_spark.operators.dedup import staged_scope
+
+    df = _df(spark, 2000)
+    expected = [
+        (r.id, r.rn)
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy("v", "id"))
+            .alias("rn"),
+        ).collect()
+    ]
+    before = _stored_rdd_ids(spark)
+    assert (
+        spark.conf.get("spark.idnareaetl.stageMaterialization", None) is None
+    )
+    with staged_scope(spark):
+        assert (
+            spark.conf.get("spark.idnareaetl.stageMaterialization")
+            == "persist"
+        )
+        got = [
+            (r.id, r.rn)
+            for r in global_row_number(df, [F.col("v"), F.col("id")])
+            .select("id", "rn")
+            .collect()
+        ]
+        during = _stored_rdd_ids(spark)
+        assert during - before, "scope ran without storing staged blocks"
+    after = _stored_rdd_ids(spark)
+    assert after - before == set(), f"leaked staged blocks: {after - before}"
+    assert (
+        spark.conf.get("spark.idnareaetl.stageMaterialization", None) is None
+    )
+    assert sorted(got) == sorted(expected)
+    # default mode still works after the scope
+    re_got = [
+        (r.id, r.rn)
+        for r in global_row_number(df, [F.col("v"), F.col("id")])
+        .select("id", "rn")
+        .collect()
+    ]
+    assert sorted(re_got) == sorted(expected)
+
+
+def test_staged_scope_nests_and_releases_per_scope(spark):
+    """Each scope releases only its own frames; the outer scope's
+    staged blocks survive an inner scope's exit."""
+    from idn_area_etl_spark.operators.dedup import staged_scope
+
+    df = _df(spark, 1000)
+    before = _stored_rdd_ids(spark)
+    with staged_scope(spark):
+        global_row_number(df, [F.col("v"), F.col("id")]).count()
+        outer = _stored_rdd_ids(spark) - before
+        assert outer
+        with staged_scope(spark):
+            global_row_number(
+                df.limit(500), [F.col("v"), F.col("id")]
+            ).count()
+        # inner released, outer still stored
+        assert outer <= _stored_rdd_ids(spark)
+    assert _stored_rdd_ids(spark) - before == set()
