@@ -6,9 +6,12 @@ SimHash), and embedding similarity (brute-force cosine top-k,
 near-dup pair mining, sign-LSH ANN).  Implementations come from
 idn_area_etl_spark.operators.{text,dedup,similarity}; the oracle SQL
 replicates SQL-expressible ones exactly (rules in plans/registry.py).
-MinHash / SimHash / LSH-ANN are not SQL-expressible — those entries
-have no oracle (driver rows-only check) and are certified against
-planted near-duplicates in pytest.
+MinHash / SimHash / LSH-ANN internals are not SQL-expressible — the
+realistic-workload entries have no oracle (driver rows-only check) —
+but their RECALL on planted byte-identical duplicates is exact and
+deterministic, so each engine also registers a ``*_planted`` spec
+with a hash-checkable oracle (identical text → identical signature →
+collides in every band / Hamming 0 / same bucket & cosine 1.0).
 """
 
 from __future__ import annotations
@@ -357,6 +360,91 @@ def _with_plants(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return queries, emb.unionByName(plants.select(*emb.columns))
 
 
+def _docs_with_plants(
+    docs: DataFrame, guard_text: bool
+) -> DataFrame:
+    """Corpus with a byte-identical copy of each doc_id<20 document
+    planted at doc_id + _PLANT_OFFSET.  ``guard_text`` restricts the
+    plants to docs with ≥10 non-space chars — needed for MinHash,
+    where an empty/NULL shingle set yields an all-null signature whose
+    zip_with equality estimate is 0, not 1 (SimHash needs no guard: an
+    empty vote vector packs to sig=0 on both sides, Hamming 0)."""
+    originals = docs.filter(F.col("doc_id") < 20)
+    if guard_text:
+        originals = originals.filter(
+            F.length(F.trim(F.col("text"))) >= 10
+        )
+    plants = originals.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    return docs.unionByName(plants.select(*docs.columns))
+
+
+def d_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate recall on planted duplicates (exact
+    oracle).  A byte-identical copy has an identical 32-hash signature,
+    so it collides with its original in EVERY band — the pair is
+    always a candidate — and the zip_with signature-agreement estimate
+    is exactly 32/32 = 1.0.  Any regression in shingling, signature
+    hashing, banding, or the bucket join drops rows and fails the
+    driver's hash gate (the realistic-workload d_minhash_candidates
+    stays registered as the rows-only demonstration)."""
+    corpus = _docs_with_plants(_docs(spark, sf_dir), guard_text=True)
+    from idn_area_etl_spark.operators.dedup import minhash_candidates
+
+    cand = minhash_candidates(corpus, threshold=0.5)
+    return (
+        cand.filter(
+            (F.col("doc_a") < 20)
+            & (F.col("doc_b") == F.col("doc_a") + F.lit(_PLANT_OFFSET))
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a")
+    )
+
+
+D_MINHASH_PLANTED_SQL = f"""
+SELECT doc_id AS doc_a,
+  doc_id + {_PLANT_OFFSET} AS doc_b,
+  CAST(1.0 AS DOUBLE) AS est_jaccard
+FROM documents
+WHERE doc_id < 20 AND length(trim(text)) >= 10
+ORDER BY doc_a
+"""
+
+
+def d_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pair recall on planted duplicates (exact oracle).
+    A byte-identical copy has an identical packed 64-bit signature:
+    all four 16-bit pigeonhole quarters collide, the pair survives
+    every block join, and bit_count(a XOR b) is exactly 0.  No text
+    guard — even empty/NULL docs pack to sig=0 on both sides, so the
+    degenerate path is exercised too (the realistic d_simhash
+    signature dump stays registered as the rows-only demonstration)."""
+    corpus = _docs_with_plants(_docs(spark, sf_dir), guard_text=False)
+    from idn_area_etl_spark.operators.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(corpus, max_hamming=3)
+    return (
+        pairs.filter(
+            (F.col("doc_a") < 20)
+            & (F.col("doc_b") == F.col("doc_a") + F.lit(_PLANT_OFFSET))
+        )
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a")
+    )
+
+
+D_SIMHASH_PLANTED_SQL = f"""
+SELECT doc_id AS doc_a,
+  doc_id + {_PLANT_OFFSET} AS doc_b,
+  CAST(0 AS INT) AS hamming
+FROM documents
+WHERE doc_id < 20
+ORDER BY doc_a
+"""
+
+
 def e_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _with_plants(_emb(spark, sf_dir))
     res = lsh_ann_topk(queries, corpus, k=3, n_planes=8)
@@ -449,6 +537,14 @@ SPECS = [
               tags=("dedup",)),
     QuerySpec("d_simhash", d_simhash, None,
               doc="64-bit SimHash signatures (rows-only)", tags=("dedup",)),
+    QuerySpec("d_minhash_planted", d_minhash_planted, D_MINHASH_PLANTED_SQL,
+              doc="MinHash-LSH candidate recall on planted duplicates "
+                  "(exact oracle)",
+              tags=("dedup",)),
+    QuerySpec("d_simhash_planted", d_simhash_planted, D_SIMHASH_PLANTED_SQL,
+              doc="SimHash near-pair recall on planted duplicates "
+                  "(exact oracle)",
+              tags=("dedup",)),
     QuerySpec("e_cosine_topk", e_cosine_topk, E_COSINE_TOPK_SQL,
               headline=True, doc="brute-force cosine top-3 neighbors",
               tags=("similarity",)),
