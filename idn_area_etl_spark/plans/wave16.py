@@ -234,7 +234,20 @@ def e_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores it sq-dist 0.0, strictly below every non-identical vector,
     so it returns at rnk 1 with dist exactly 0.0.  Any regression in
     encoding, the ADC lookup join, shortlisting, or reranking drops
-    rows and fails the hash check."""
+    rows and fails the hash check.
+
+    SHORTLIST-TIE ASSUMPTION (holds at the tested SFs; re-check before
+    rotating this spec to a larger corpus): every candidate sharing the
+    probe's exact 8-code tuple ties the plant at the minimum ADC
+    distance, and the shortlist tiebreak (neighbor_id ascending) ranks
+    the plant (vec_id ≥ 1,000,000) LAST among those ties — if ≥
+    ``shortlist`` (50) corpus vectors ever share one probe's code tuple
+    (plausible with coarse 8×8 codebooks on clustered data at much
+    larger SFs), the plant drops out of the shortlist and this oracle
+    fails with no code regression.  Measured safety margin is asserted
+    by ``tests/test_plans_wave16.py::
+    test_pq_planted_code_tuple_multiplicity``;
+    scale ``shortlist`` with the corpus if that gate ever trips."""
     from idn_area_etl_spark.plans.docs import _PLANT_OFFSET
 
     emb = load_table(spark, sf_dir, "embeddings")

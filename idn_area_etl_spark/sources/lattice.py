@@ -429,10 +429,15 @@ def count_pages(pdf_path: str) -> int:
     back to the root ``/Kids`` length for page objects inlined beyond
     the object scan's reach.
 
-    The match runs on dictionary bytes only — ``stream…endstream``
-    spans are stripped first, so marker bytes that happen to occur
-    inside compressed/binary stream data can't overcount (pypdf walks
-    the page tree and never sees stream payloads either)."""
+    ``stream…endstream`` spans are stripped (non-greedily) before the
+    match, which GREATLY REDUCES — but does not eliminate — the chance
+    that marker bytes inside compressed/binary stream data overcount:
+    if the byte sequence ``endstream`` itself occurs inside a stream's
+    compressed payload, the strip stops early and the residual tail is
+    still scanned.  Honoring each stream dictionary's ``/Length`` would
+    close that; at this fallback's scope (the reference's fixture-class
+    PDFs) the non-greedy strip has been sufficient.  (pypdf, when
+    installed, walks the page tree and never sees stream payloads.)"""
     objs = _objects(open(pdf_path, "rb").read())
     n = sum(
         1

@@ -12,6 +12,8 @@ under
    physical layout for every exchange),
 3. AQE disabled (no runtime coalescing / skew splitting, so plan
    shapes themselves change),
+4. auto-broadcast disabled (every non-hinted equi-join becomes
+   sort-merge — a different join-strategy plan space),
 
 and the canonicalized results must hash identically (same
 normalization the DuckDB oracle compare uses).
@@ -102,16 +104,25 @@ def test_result_invariant_under_partitioning(spark, sf_dir, name):
         )
 
 
-def test_harness_detects_stage_removal(spark):
+def test_harness_detects_stage_removal(spark, sf01_dir):
     """Teeth check: deleting the ``_stage`` materialization from the
     rank helpers must make the harness FAIL (at sf0.1, where AQE's
     independent coalescing of the two range-exchange consumers has
     room to diverge — sf0.001 collapses to one partition everywhere
     and cannot reproduce the drift).  If this test ever fails, the
-    invariance gate has gone blind to its founding bug class."""
+    invariance gate has gone blind to its founding bug class.
+
+    ENVIRONMENT SENSITIVITY (a canary, not a correctness property):
+    the asserted divergence is AQE-coalescing NONDETERMINISM — it
+    reproduces on this machine's core count / Spark version with the
+    sf0.1 dataset (skipped via the ``sf01_dir`` fixture when that
+    dataset is absent), but a platform where AQE happens to coalesce
+    both consumers identically would fail this test with no real
+    regression.  If that happens, widen the config set or the spec
+    list until the drift reproduces rather than deleting the check."""
     specs = all_specs()
     names = ["d_vocab_growth", "a_spearman_corr"]
-    sf01 = "/root/testdata/sf0.1"
+    sf01 = sf01_dir
     orig = dedup._stage
     dedup._stage = lambda df: df  # simulate the regression
     try:

@@ -148,3 +148,29 @@ def test_pq_adc_is_deterministic(spark, sf_dir, pq_parts):
     a = pq_adc_topk(probes, codes, books, k=3).collect()
     b = pq_adc_topk(probes, codes, books, k=3).collect()
     assert a == b
+
+
+def test_pq_planted_code_tuple_multiplicity(spark, sf_dir, pq_parts):
+    """Safety margin for e_pq_planted's shortlist-tie assumption (see
+    its docstring): the plant survives the 50-candidate shortlist only
+    while fewer than 50 corpus vectors share any probe's exact 8-code
+    tuple (ties rank the high-id plant last).  Assert the measured
+    maximum multiplicity stays below half the shortlist; if data growth
+    ever trips this, scale `shortlist` with the corpus instead of
+    loosening the gate."""
+    emb, books, codes = pq_parts
+    tuples = codes.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("sub", "code"))).alias("tup")
+    )
+    max_mult = (
+        tuples.groupBy("tup")
+        .agg(F.count("*").alias("m"))
+        .agg(F.max("m").alias("mm"))
+        .collect()[0]
+        .mm
+    )
+    assert max_mult < 25, (
+        f"max per-code-tuple multiplicity {max_mult} approaches the "
+        "50-candidate shortlist; e_pq_planted's recovery guarantee "
+        "needs shortlist scaled up"
+    )

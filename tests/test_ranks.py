@@ -113,7 +113,7 @@ def test_global_row_number_plan_no_full_data_single_partition(spark):
     assert plan.count("SinglePartition") <= 2
 
 
-def test_pid_spaces_consistent_under_aqe_coalescing(spark):
+def test_pid_spaces_consistent_under_aqe_coalescing(spark, sf01_dir):
     """Regression for a silent row-loss bug: the offsets histogram and
     the row join both derive ``_pid`` from the physical partition
     layout, and with an IMPLICIT partition count AQE may coalesce the
@@ -123,13 +123,7 @@ def test_pid_spaces_consistent_under_aqe_coalescing(spark):
     (synthetic in-memory frames coalesce consistently): d_vocab_growth
     at sf0.1 lost 5 of its 10 deciles.  The fix pins an explicit
     partition count (exempt from AQE coalescing)."""
-    import os
-
-    import pytest
-
-    sf_dir = "/root/testdata/sf0.1"
-    if not os.path.isdir(sf_dir):
-        pytest.skip("sf0.1 testdata not present")
+    sf_dir = sf01_dir
     from idn_area_etl_spark.plans.wave48 import d_vocab_growth
     from idn_area_etl_spark.sources.tables import load_table
 

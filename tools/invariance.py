@@ -3,7 +3,7 @@
 The determinism stance (SCALE.md "Determinism without
 single-threading") claims results are bit-identical under ANY
 partitioning.  This harness proves it empirically: each window spec
-runs under three session configurations —
+runs under four session configurations —
 
 1. the default session (AQE on, shuffle partitions = cores),
 2. an adversarial shuffle-partition count (7 — odd, tiny, guarantees
@@ -15,7 +15,7 @@ runs under three session configurations —
 
 and the canonicalized result (rows sorted, columns name-sorted, the
 same normalization the DuckDB oracle compare uses) must hash
-identically across all three.  A mismatch means some value depends on
+identically across all four.  A mismatch means some value depends on
 physical layout — the bug class the rank-helper AQE layout drift
 belonged to.
 
