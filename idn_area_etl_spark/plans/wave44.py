@@ -102,13 +102,19 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scores: per-language doc count, mean
     smoothed log-likelihood ratio vs the lang='en' target, and the
     share of documents the target-ratio filter would select."""
-    docs = load_table(spark, sf_dir, "documents")
+    return dsir_rollup(load_table(spark, sf_dir, "documents"))
+
+
+def dsir_rollup(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """The DSIR scoring pipeline over any (doc_id, lang, text) frame —
+    split out so tools/stress.py can tier the SAME end-to-end shape
+    (vocabulary shuffle join included) on synthetic 100k/1M corpora."""
     occ = docs.select(
         "doc_id", "lang", F.explode(_ws_tokens(F.col("text"))).alias("w")
     )
     vocab = occ.groupBy("w").agg(
         F.count("*").alias("rc"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("tc"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("tc"),
     )
     totals = vocab.agg(
         F.sum("rc").alias("R"),

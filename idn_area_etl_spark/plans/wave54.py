@@ -43,7 +43,13 @@ from idn_area_etl_spark.sources.tables import load_table
 def s_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters (prefix-join edges, Jaccard >= 0.8) keep the
     LONGEST doc; per-language doc/char retention."""
-    docs = load_table(spark, sf_dir, "documents")
+    return keep_best_rollup(load_table(spark, sf_dir, "documents"))
+
+
+def keep_best_rollup(docs: DataFrame) -> DataFrame:
+    """The keep-best survivorship pipeline over any (doc_id, lang,
+    text) frame — split out so tools/stress.py can tier the SAME
+    end-to-end shape on synthetic 100k/1M corpora."""
     edges = prefix_jaccard_join(docs, n=5, tau_num=4, tau_den=5).select(
         "doc1", "doc2"
     )
