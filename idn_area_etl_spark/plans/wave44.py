@@ -364,6 +364,10 @@ SPECS = [
         "d_dsir_weights",
         d_dsir_weights,
         D_DSIR_SQL,
+        # headline: the data-selection scale path whose vocabulary join
+        # was un-broadcast in round 5 — benched so the shuffle-join
+        # plan's number is tracked round-over-round
+        headline=True,
         doc="DSIR importance weights: smoothed unigram LLR vs en target",
         tags=("text", "dataset-prep"),
     ),
