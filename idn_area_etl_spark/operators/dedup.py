@@ -113,6 +113,13 @@ def staged_scope(spark: SparkSession):
     lineage from scratch on the next action — correct, just no longer
     cached.  Scopes nest; each releases only its own frames.  The
     previous ``stageMaterialization`` setting is restored on exit.
+
+    Not thread-safe: the scope stack (and the session conf it toggles)
+    is process-global, so concurrent threads staging inside different
+    scopes would cross-register frames.  Use one scope at a time per
+    process (driver-side concurrency of SPARK JOBS inside one scope is
+    fine — registration happens at plan-build time on the caller's
+    thread).
     """
     prev = spark.conf.get("spark.idnareaetl.stageMaterialization", None)
     spark.conf.set("spark.idnareaetl.stageMaterialization", "persist")
