@@ -135,7 +135,11 @@ def staged_scope(spark: SparkSession):
             spark.conf.set("spark.idnareaetl.stageMaterialization", prev)
         for staged in bucket:
             try:
-                staged.unpersist()
+                # blocking: block removal is otherwise asynchronous, so
+                # "released on exit" would be eventually-true only (and
+                # storage-count assertions could race); the wait is
+                # negligible next to the staged computation itself
+                staged.unpersist(blocking=True)
             except Exception:  # noqa: BLE001 — best-effort release
                 pass
 

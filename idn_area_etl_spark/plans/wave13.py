@@ -57,25 +57,27 @@ def a_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both estimates land in the lgK=12 accuracy envelope (~1.6%
     # stderr; 5% ≈ 3σ) and the two estimators agree within 2%.  All
     # checks are deterministic — the sketch hash is data-fixed.
+    # Zero-denominator guard: a group whose user_id values are all NULL
+    # has exact_users = 0 AND est_* = 0; the relative-error division
+    # would yield NULL and the oracle (which pins TRUE) would fail on a
+    # data-shape edge rather than a sketch regression.  Degenerate
+    # groups pass iff both quantities are zero.
+    def _within(a, b, tol):
+        return F.when(b == 0, a == 0).otherwise(F.abs(a - b) / b <= tol)
+
     return (
         merged.join(direct, "event_type")
         .select(
             "event_type",
             "exact_users",
-            (
-                F.abs(F.col("est_merged") - F.col("est_direct"))
-                / F.col("est_direct")
-                <= 0.02
+            _within(
+                F.col("est_merged"), F.col("est_direct"), 0.02
             ).alias("estimators_agree_2pct"),
-            (
-                F.abs(F.col("est_merged") - F.col("exact_users"))
-                / F.col("exact_users")
-                <= 0.05
+            _within(
+                F.col("est_merged"), F.col("exact_users"), 0.05
             ).alias("merged_within_5pct"),
-            (
-                F.abs(F.col("est_direct") - F.col("exact_users"))
-                / F.col("exact_users")
-                <= 0.05
+            _within(
+                F.col("est_direct"), F.col("exact_users"), 0.05
             ).alias("direct_within_5pct"),
         )
         .orderBy("event_type")

@@ -135,12 +135,23 @@ FROM agg
 
 
 def e_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out 1-NN cosine label accuracy per true label."""
+    """Leave-one-out 1-NN cosine label accuracy per true label, over a
+    fixed 200-probe eval set (``vec_id < 200``).
+
+    Scale design (r6): exact LOO 1-NN over the FULL corpus is
+    inherently all-pairs — quadratic work no join strategy fixes — so
+    the metric is evaluated on a literal-bounded probe sample against
+    the full streaming corpus (the ``e_cosine_topk`` pattern): linear
+    in corpus size, probe side broadcast by construction.  The 1-NN
+    winner per probe comes from one map-side-combinable ``min_by``
+    aggregation over an integer-encoded (-cos, label) ordering key —
+    no per-probe window funneling the corpus through one task.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
     ).withColumn("nrm", norm_expr(F.col("vec")))
-    q = v.select(
+    q = v.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlbl"),
         F.col("vec").alias("qv"),
@@ -156,18 +167,22 @@ def e_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         6,
     )
-    nn = (
-        q.join(c, F.col("qid") != F.col("cid"))
-        .select("qid", "qlbl", "clbl", cos.alias("cos"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.desc("cos"), "clbl"
-                )
-            ),
+    # integer encoding of the rounded cosine: 6-dp values are >= 1e-6
+    # apart, so ci is injective on them and (-ci, clbl) min-orders
+    # exactly like (cos DESC, clbl ASC)
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "qlbl",
+            "clbl",
+            F.round(cos * 1e6).cast("long").alias("ci"),
         )
-        .filter(F.col("rnk") == 1)
+    )
+    nn = scored.groupBy("qid", "qlbl").agg(
+        F.min_by(
+            "clbl", F.struct((-F.col("ci")).alias("a"), F.col("clbl").alias("b"))
+        ).alias("clbl")
     )
     return (
         nn.groupBy("qlbl")
@@ -202,6 +217,7 @@ norms AS (
 nn AS (
   SELECT q.vec_id AS qid, q.label AS qlbl, c.label AS clbl
   FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 200
   QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
     ROUND(list_sum(list_transform(generate_series(1, len(q.vec)),
         i -> q.vec[i] * c.vec[i])) / (q.nrm * c.nrm), 6) DESC,

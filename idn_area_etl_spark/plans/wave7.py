@@ -108,7 +108,12 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "l_returnflag",
-        F.round("x50", 6).alias("exact_p50"),
+        # decimal, not round-to-double: both engines rescale the SAME
+        # interpolated double to 6 decimal digits, so the oracle compares
+        # decimals instead of relying on bit-identical double rounding
+        # (Spark HALF_UP BigDecimal vs DuckDB double ROUND can differ by
+        # 1 ulp on representation-boundary values)
+        F.col("x50").cast("decimal(18,6)").alias("exact_p50"),
         (
             (F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50"))
         ).alias("p50_in_bounds"),
@@ -120,7 +125,7 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A_QUANTILE_SKETCH_SQL = """
 SELECT l_returnflag,
-  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+  CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS exact_p50,
   TRUE AS p50_in_bounds,
   TRUE AS p99_in_bounds
 FROM lineitem

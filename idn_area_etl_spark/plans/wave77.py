@@ -22,7 +22,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.plans.registry import QuerySpec
@@ -130,7 +130,15 @@ ORDER BY part
 
 
 def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa between the 1-NN predicted label and truth."""
+    """Cohen's kappa between the 1-NN predicted label and truth, over
+    a fixed 200-probe eval set (``vec_id < 200``).
+
+    Scale design (r6): exact 1-NN prediction over the FULL corpus is
+    all-pairs (quadratic); the metric is evaluated on a literal-bounded
+    probe sample vs the streaming corpus, with the per-probe winner
+    from one ``min_by`` aggregation over an integer-encoded
+    (-cos, pred) key — linear in corpus, no per-probe window (see
+    ``e_knn_loo_accuracy``)."""
     from idn_area_etl_spark.operators.similarity import (
         as_double_vec,
         dot_expr,
@@ -141,7 +149,7 @@ def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
     ).withColumn("nrm", norm_expr(F.col("vec")))
-    q = v.select(
+    q = v.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("truth"),
         F.col("vec").alias("qv"),
@@ -157,18 +165,17 @@ def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         6,
     )
-    nn = (
-        q.join(c, F.col("qid") != F.col("cid"))
-        .select("qid", "truth", "pred", cos.alias("cos"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.desc("cos"), "pred"
-                )
-            ),
-        )
-        .filter(F.col("rnk") == 1)
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
+        "qid",
+        "truth",
+        "pred",
+        F.round(cos * 1e6).cast("long").alias("ci"),
+    )
+    nn = scored.groupBy("qid", "truth").agg(
+        F.min_by(
+            "pred",
+            F.struct((-F.col("ci")).alias("a"), F.col("pred").alias("b")),
+        ).alias("pred")
     )
     counts = nn.groupBy("truth", "pred").agg(F.count("*").alias("c"))
     tot = counts.agg(F.sum("c").alias("N"))
@@ -220,6 +227,7 @@ norms AS (
 nn AS (
   SELECT q.vec_id AS qid, q.label AS truth, c.label AS pred
   FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 200
   QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
     ROUND(list_sum(list_transform(generate_series(1, len(q.vec)),
         i -> q.vec[i] * c.vec[i])) / (q.nrm * c.nrm), 6) DESC,

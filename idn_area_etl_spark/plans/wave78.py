@@ -19,7 +19,7 @@ geometry; every query carries an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.similarity import (
@@ -142,12 +142,25 @@ ORDER BY c_mktsegment
 
 
 def e_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TwoNN intrinsic dimension over cosine distances."""
+    """TwoNN intrinsic dimension over cosine distances, estimated on a
+    fixed 200-probe sample (``vec_id < 200``).
+
+    Scale design (r6): the TwoNN estimator needs each point's two
+    nearest neighbors — exact over the FULL corpus that is all-pairs
+    (quadratic).  TwoNN is a statistical estimator, so it is computed
+    on a literal-bounded probe sample whose neighbors still come from
+    the full streaming corpus: two linear broadcast-probe passes (the
+    second pass re-streams the corpus to find the runner-up past each
+    probe's minimum — cheaper at scale than materializing 200× the
+    corpus or funneling it through per-probe window tasks).  The
+    (distance, cid) ordering is integer-encoded so min-struct
+    aggregation reproduces the rank-1/rank-2 tie-breaks exactly.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("vec")
     ).withColumn("nrm", norm_expr(F.col("vec")))
-    q = v.select(
+    q = v.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("qid"),
         F.col("vec").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -163,20 +176,46 @@ def e_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("qn") * F.col("cn")),
         9,
     )
-    ranked = (
-        q.join(c, F.col("qid") != F.col("cid"))
-        .select("qid", "cid", dist.alias("d"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy("d", "cid")
-            ),
-        )
-        .filter(F.col("rnk") <= 2)
+    # 9-dp distances are >= 1e-9 apart, in [0, 2]: di = round(d*1e9)
+    # is injective on them, so struct (di, cid) min-orders exactly
+    # like ORDER BY d, cid — and d rides along (equal di => equal d)
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        dist.alias("d"),
+        F.round(dist * 1e9).cast("long").alias("di"),
     )
-    two = ranked.groupBy("qid").agg(
-        F.max(F.when(F.col("rnk") == 1, F.col("d"))).alias("d1"),
-        F.max(F.when(F.col("rnk") == 2, F.col("d"))).alias("d2"),
+    first = scored.groupBy("qid").agg(
+        F.min(
+            F.struct(
+                F.col("di").alias("di"),
+                F.col("cid").alias("cid"),
+                F.col("d").alias("d"),
+            )
+        ).alias("m1")
+    )
+    second = (
+        scored.join(F.broadcast(first), "qid")
+        .filter(
+            F.struct(F.col("di").alias("di"), F.col("cid").alias("cid"))
+            > F.struct(
+                F.col("m1.di").alias("di"), F.col("m1.cid").alias("cid")
+            )
+        )
+        .groupBy("qid")
+        .agg(
+            F.max(F.col("m1.d")).alias("d1"),
+            F.min(
+                F.struct(
+                    F.col("di").alias("di"),
+                    F.col("cid").alias("cid"),
+                    F.col("d").alias("d"),
+                )
+            ).alias("m2"),
+        )
+    )
+    two = second.select(
+        "qid", "d1", F.col("m2.d").alias("d2")
     ).filter(F.col("d1") > 0)
     logs = two.select(
         F.log(F.col("d2") / F.col("d1"))
@@ -213,6 +252,7 @@ ranked AS (
           i -> q.vec[i] * c.vec[i])) / (q.nrm * c.nrm), 9),
       c.vec_id) AS rnk
   FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 200
 ),
 two AS (
   SELECT qid,

@@ -130,7 +130,14 @@ FROM diffs
 
 
 def a_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label F1 of the 1-NN LOO classifier + macro average."""
+    """Per-label F1 of the 1-NN classifier over a fixed 200-probe eval
+    set (``vec_id < 200``).
+
+    Scale design (r6): exact 1-NN over the FULL corpus is all-pairs
+    (quadratic); the metric is evaluated on a literal-bounded probe
+    sample vs the streaming corpus, per-probe winner via ``min_by``
+    over an integer-encoded (-cos, pred) key (see
+    ``e_knn_loo_accuracy``)."""
     from idn_area_etl_spark.operators.similarity import (
         as_double_vec,
         dot_expr,
@@ -141,7 +148,7 @@ def a_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
     ).withColumn("nrm", norm_expr(F.col("vec")))
-    q = v.select(
+    q = v.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("truth"),
         F.col("vec").alias("qv"),
@@ -157,16 +164,17 @@ def a_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         6,
     )
-    nn = (
-        q.join(c, F.col("qid") != F.col("cid"))
-        .select("qid", "truth", "pred", cos.alias("cos"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("cos"), "pred")
-            ),
-        )
-        .filter(F.col("rnk") == 1)
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
+        "qid",
+        "truth",
+        "pred",
+        F.round(cos * 1e6).cast("long").alias("ci"),
+    )
+    nn = scored.groupBy("qid", "truth").agg(
+        F.min_by(
+            "pred",
+            F.struct((-F.col("ci")).alias("a"), F.col("pred").alias("b")),
+        ).alias("pred")
     )
     tp = nn.groupBy("truth").agg(
         F.sum((F.col("pred") == F.col("truth")).cast("long")).alias(
@@ -223,6 +231,7 @@ norms AS (
 nn AS (
   SELECT q.vec_id AS qid, q.label AS truth, c.label AS pred
   FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 200
   QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
     ROUND(list_sum(list_transform(generate_series(1, len(q.vec)),
         i -> q.vec[i] * c.vec[i])) / (q.nrm * c.nrm), 6) DESC,

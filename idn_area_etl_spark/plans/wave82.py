@@ -38,7 +38,22 @@ from idn_area_etl_spark.sources.tables import load_table
 
 def a_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN covariate matching (pre-value) with replacement; ATT on
-    post-period user value."""
+    post-period user value.
+
+    Execution: the match covariate is a SCALAR, so the nearest control
+    is always the treated user's predecessor or successor in the sorted
+    control-value order — two distributed running-max passes over the
+    (distinct control value, min control id) rollup
+    (:func:`~idn_area_etl_spark.operators.ranks.global_running_max`,
+    struct-valued so the winning control id rides along), then one
+    equi-join back on the chosen control id.  O(n log n); the previous
+    ``t.join(c, F.lit(True))`` all-pairs product was quadratic in users
+    (the r6 all-pairs gate flags that shape).  Results are bit-identical
+    to the pairwise rank: |a-b| of doubles equals the directed
+    difference against the sorted neighbor, and the (distance, cid)
+    tie-break reduces to comparing the two candidate sides' per-value
+    minimum control ids.  The oracle stays literally pairwise.
+    """
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("date")
     per_user = ev.groupBy("user_id").agg(
@@ -78,17 +93,73 @@ def a_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pre").alias("cpre"),
         F.col("post").alias("cpost"),
     )
-    matched = (
-        t.join(c, F.lit(True))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("tid").orderBy(
-                    F.abs(F.col("tpre") - F.col("cpre")), "cid"
-                )
-            ),
+    from idn_area_etl_spark.operators.ranks import global_running_max
+
+    # one row per DISTINCT control pre-value, carrying the tie-break
+    # winner at that value (min cid) — candidates at equal distance
+    # resolve to per-value minimum ids, so nothing else can win
+    cv = c.groupBy("cpre").agg(F.min("cid").alias("mcid"))
+    cs_type = "struct<cx:double,mcid:bigint>"
+    u = cv.select(
+        F.col("cpre").alias("x"),
+        F.lit(0).alias("is_t"),
+        F.lit(None).cast("bigint").alias("tid"),
+        F.lit(None).cast("double").alias("tpost"),
+        F.struct(
+            F.col("cpre").alias("cx"), F.col("mcid").alias("mcid")
+        ).alias("cs"),
+    ).unionByName(
+        t.select(
+            F.col("tpre").alias("x"),
+            F.lit(1).alias("is_t"),
+            "tid",
+            "tpost",
+            F.lit(None).cast(cs_type).alias("cs"),
         )
-        .filter(F.col("rnk") == 1)
+    )
+    # predecessor: inclusive running max of the control struct over
+    # (x asc, is_t asc) — controls sort before treatments at equal x,
+    # so an exactly-matching control value is included
+    with_p = global_running_max(
+        u,
+        [F.col("x"), F.col("is_t"), F.col("tid")],
+        F.col("cs"),
+        out="p",
+    )
+    # successor: same trick over x DESC with the struct key negated,
+    # so "max" picks the smallest control value >= x
+    with_s = global_running_max(
+        with_p,
+        [F.col("x").desc(), F.col("is_t"), F.col("tid")],
+        F.struct(
+            (-F.col("cs.cx")).alias("nx"), F.col("cs.mcid").alias("mcid")
+        ),
+        out="s",
+    )
+    cand = with_s.filter(F.col("is_t") == 1).select(
+        "tid",
+        F.col("x").alias("tpre"),
+        "tpost",
+        (F.col("x") - F.col("p.cx")).alias("d_p"),
+        F.col("p.mcid").alias("p_cid"),
+        ((-F.col("s.nx")) - F.col("x")).alias("d_s"),
+        F.col("s.mcid").alias("s_cid"),
+    )
+    take_pred = F.col("p_cid").isNotNull() & (
+        F.col("s_cid").isNull()
+        | (F.col("d_p") < F.col("d_s"))
+        | ((F.col("d_p") == F.col("d_s")) & (F.col("p_cid") < F.col("s_cid")))
+    )
+    chosen = cand.select(
+        "tid",
+        "tpre",
+        "tpost",
+        F.when(take_pred, F.col("p_cid")).otherwise(F.col("s_cid")).alias(
+            "cid"
+        ),
+    ).filter(F.col("cid").isNotNull())
+    matched = chosen.join(
+        c.select("cid", "cpre", "cpost"), "cid"
     )
     return matched.agg(
         F.count("*").cast("long").alias("n_matched"),

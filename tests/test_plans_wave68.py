@@ -69,18 +69,26 @@ def test_knn_loo_matches_numpy(spark, sf_dir):
     import numpy as np
 
     rows = wave68.e_knn_loo_accuracy(spark, sf_dir).collect()
-    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
     mat = np.array(
         [np.array(v, dtype=np.float64) for v in pdf["embedding"]]
     )
     labels = pdf["label"].to_numpy()
+    vec_ids = pdf["vec_id"].to_numpy()
     norms = np.linalg.norm(mat, axis=1)
     sims = (mat @ mat.T) / norms[:, None] / norms[None, :]
     np.fill_diagonal(sims, -np.inf)
     sims = np.round(sims, 6)
     correct = {}
     counts = {}
-    for i in range(len(mat)):
+    # the r6 spec evaluates on the fixed vec_id < 200 probe sample
+    # (full-corpus LOO is all-pairs); candidates are the whole corpus
+    for i in np.flatnonzero(vec_ids < 200):
         best = np.max(sims[i])
         # tie-break on smallest candidate LABEL (matches the plan)
         cand_labels = labels[sims[i] == best]
