@@ -17,6 +17,7 @@ aggregate/transform) — no Python in the row path.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -81,14 +82,24 @@ def _stage(df: DataFrame) -> DataFrame:
             "spark.idnareaetl.stageMaterialization must be one of "
             f"'localCheckpoint', 'persist', 'checkpoint'; got {mode!r}"
         )
-    if _STAGE_SCOPES:
-        _STAGE_SCOPES[-1].append(staged)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(staged)
     return staged
 
 
-#: Stack of active :func:`staged_scope` buckets; :func:`_stage` appends
-#: every frame it materializes to the innermost one.
-_STAGE_SCOPES: list[list[DataFrame]] = []
+#: Per-thread stack of active :func:`staged_scope` buckets;
+#: :func:`_stage` appends every frame it materializes to the CALLING
+#: thread's innermost scope, so concurrent driver threads can hold
+#: scopes simultaneously without cross-registering frames.
+_SCOPE_STACKS = threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_SCOPE_STACKS, "stack", None)
+    if stack is None:
+        stack = _SCOPE_STACKS.stack = []
+    return stack
 
 
 @contextmanager
@@ -114,21 +125,30 @@ def staged_scope(spark: SparkSession):
     cached.  Scopes nest; each releases only its own frames.  The
     previous ``stageMaterialization`` setting is restored on exit.
 
-    Not thread-safe: the scope stack (and the session conf it toggles)
-    is process-global, so concurrent threads staging inside different
-    scopes would cross-register frames.  Use one scope at a time per
-    process (driver-side concurrency of SPARK JOBS inside one scope is
-    fine — registration happens at plan-build time on the caller's
-    thread).
+    Thread-safety (round 6): the scope stack is THREAD-LOCAL — each
+    driver thread's scopes register only the frames staged by that
+    thread, so concurrent threads can hold scopes simultaneously
+    without cross-registering (pinned by
+    ``test_staged_scope_is_thread_local``).  The one remaining shared
+    piece is the session CONF toggle: ``stageMaterialization`` lives in
+    the (session-global) SQL conf, so while any thread holds a scope,
+    OTHER threads staging on the same session also stage in ``persist``
+    mode.  That is benign — persist keeps recomputable lineage and
+    evictable blocks; those frames simply aren't auto-released — but
+    two scopes on the SAME session whose lifetimes overlap may restore
+    each other's conf out of order.  Threads wanting full isolation
+    should use separate sessions (``spark.newSession()``), which have
+    separate SQL confs.
     """
     prev = spark.conf.get("spark.idnareaetl.stageMaterialization", None)
     spark.conf.set("spark.idnareaetl.stageMaterialization", "persist")
     bucket: list[DataFrame] = []
-    _STAGE_SCOPES.append(bucket)
+    stack = _scope_stack()
+    stack.append(bucket)
     try:
         yield
     finally:
-        _STAGE_SCOPES.pop()
+        stack.pop()
         if prev is None:
             spark.conf.unset("spark.idnareaetl.stageMaterialization")
         else:

@@ -196,25 +196,56 @@ FROM per_user
 
 
 def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user sketch per event type, alongside the
-    exact count.
+    """HyperLogLog++ distinct-user sketches per event type at two
+    accuracy settings, validated in-plan against the exact count.
 
     Scale: the sketch is O(1) memory per group regardless of
     cardinality and merges associatively — at 100 TB this replaces the
-    O(distinct) exact shuffle when a ~2% answer is acceptable.  HLL
-    internals differ across engines, so there is no SQL oracle; pytest
-    certifies the estimate against the exact count (rows-only driver
-    check).
+    O(distinct) exact shuffle when a few-percent answer is acceptable.
+
+    Raw estimates are engine-specific, so the oracle-checked output
+    follows the digest_ok pattern (like ``a_hll_merge_daily``): the
+    plan compares each estimate to the exact count it also computes
+    and emits within-bound BOOLEANS DuckDB pins TRUE.  Bounds are 3×
+    the configured relative standard deviation (default rsd = 5% →
+    15%; rsd = 1% → 3%) — NOT the rsd itself: at sf0.1 the default
+    sketch sits 6.7% off (≈1.3σ, normal behavior once the sketch
+    leaves the exact sparse regime), which a naive 5% bound would
+    flag.  Deterministic: the sketch hash is data-fixed.  The
+    zero-denominator guard keeps degenerate all-NULL groups boolean
+    (both estimates and the exact count are 0 there).
     """
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-        )
-        .orderBy("event_type")
+
+    def _within(a, b, tol):
+        return F.when(b == 0, a == 0).otherwise(F.abs(a - b) / b <= tol)
+
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("est_default"),
+        F.approx_count_distinct("user_id", 0.01).alias("est_precise"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        _within(
+            F.col("est_default"), F.col("exact_users"), 0.15
+        ).alias("default_within_3rsd"),
+        _within(
+            F.col("est_precise"), F.col("exact_users"), 0.03
+        ).alias("precise_within_3rsd"),
+    ).orderBy("event_type")
+
+
+A_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS default_within_3rsd,
+  TRUE AS precise_within_3rsd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 SPECS = [
@@ -229,7 +260,9 @@ SPECS = [
               doc="exact-decimal Pearson correlation", tags=("stats",)),
     QuerySpec("q_funnel_users", q_funnel_users, Q_FUNNEL_SQL,
               doc="strict ordered event funnel", tags=("events",)),
-    QuerySpec("a_approx_distinct_users", a_approx_distinct_users, None,
-              doc="HLL++ distinct sketch vs exact (rows-only)",
+    QuerySpec("a_approx_distinct_users", a_approx_distinct_users,
+              A_APPROX_DISTINCT_SQL,
+              doc="HLL++ distinct sketches at two rsd settings: in-plan "
+                  "3-sigma bound checks vs exact (digest_ok pattern)",
               tags=("stats",)),
 ]

@@ -83,9 +83,17 @@ def a_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout-invariant; the oracle recomputes the identical numbers
     with DuckDB's literal pairwise CROSS JOIN formulation.
     """
+    return win_ratio_from_events(load_table(spark, sf_dir, "events"))
+
+
+def win_ratio_from_events(ev: DataFrame) -> DataFrame:
+    """The registered a_win_ratio plan shape over any events frame
+    with (user_id, event_type, value) — exported so tools/stress.py
+    can measure the exact dominance-counting recipe on synthetic
+    corpora (the quantity that used to be quadratic is the USER
+    count)."""
     from idn_area_etl_spark.operators.ranks import global_running_multi
 
-    ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "error").cast("long")).alias(
             "errors"

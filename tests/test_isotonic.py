@@ -130,3 +130,19 @@ def test_registered_query_monotone(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["calibrated"] <= 1.0
         assert r["lo_score"] <= r["hi_score"]
+
+
+def test_planted_fixed_point_exact(spark, sf_dir):
+    """The planted monotone problem (y = bin/32 exactly per row) must
+    come back from the REAL operator bit-exactly unchanged: PAVA on
+    monotone input never pools, b/32 is a 5-bit binary fraction, and
+    the bin mean (n*(b/32))/n is exact in IEEE double — so the check
+    is == equality, not approx."""
+    assert all_specs()["e_isotonic_planted"].oracle is not None
+    rows = wave64.e_isotonic_planted(spark, sf_dir).collect()
+    assert len(rows) == 20  # every bin populated at every test SF
+    for r in rows:
+        assert r["calibrated"] == r["bin"] / 32.0
+        assert r["bin"] / 20.0 <= r["lo_score"] <= r["hi_score"]
+        assert r["hi_score"] < (r["bin"] + 1) / 20.0
+        assert r["n"] > 0

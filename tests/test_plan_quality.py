@@ -150,6 +150,7 @@ ARROW_EVAL_OK = {
     "mm_codec_roundtrip",     # stdlib WAV/BMP encode+decode round-trip
     "mm_audio_windows",
     "e_isotonic_calibration",  # PAVA is inherently sequential per group
+    "e_isotonic_planted",      # same operator, planted fixed-point oracle
     "d_winnow_pairs",         # rolling k-gram hash — sequential per doc,
                               # vectorized Arrow batch (winnow_fingerprint_rows)
 }

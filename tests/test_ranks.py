@@ -250,3 +250,65 @@ def test_staged_scope_nests_and_releases_per_scope(spark):
         # inner released, outer still stored
         assert outer <= _stored_rdd_ids(spark)
     assert _stored_rdd_ids(spark) - before == set()
+
+
+def test_staged_scope_is_thread_local(spark):
+    """Two driver threads holding scopes CONCURRENTLY each release only
+    their own staged frames — the scope stack is thread-local (r6;
+    previously documented as a not-thread-safe boundary).  Thread B
+    opens a scope and stages, then blocks; the main thread opens and
+    exits its own scope in the meantime; B's staged blocks must survive
+    the main scope's exit, and B's own exit must release them."""
+    import threading
+
+    from idn_area_etl_spark.operators.dedup import staged_scope
+
+    df_b = _df(spark, 1200)
+    df_a = _df(spark, 800)
+    entered = threading.Event()
+    release = threading.Event()
+    b_state: dict = {}
+
+    def worker():
+        with staged_scope(spark):
+            got = global_row_number(df_b, [F.col("v"), F.col("id")])
+            b_state["rows"] = sorted(
+                (r.id, r.rn) for r in got.select("id", "rn").collect()
+            )
+            b_state["during"] = _stored_rdd_ids(spark)
+            entered.set()
+            release.wait(120)
+        b_state["after"] = _stored_rdd_ids(spark)
+
+    before = _stored_rdd_ids(spark)
+    t = threading.Thread(target=worker)
+    t.start()
+    try:
+        assert entered.wait(120), "worker never staged"
+        b_blocks = b_state["during"] - before
+        assert b_blocks, "worker scope ran without storing staged blocks"
+        # main-thread scope while B's scope is still open
+        with staged_scope(spark):
+            global_row_number(df_a, [F.col("v"), F.col("id")]).count()
+            during_a = _stored_rdd_ids(spark)
+        after_a = _stored_rdd_ids(spark)
+        a_blocks = during_a - b_state["during"]
+        assert a_blocks, "main scope ran without storing staged blocks"
+        # main exit released ONLY its own frames: B's still stored
+        assert a_blocks.isdisjoint(after_a), "main scope leaked blocks"
+        assert b_blocks <= after_a, (
+            "main scope's exit released the worker's staged blocks"
+        )
+    finally:
+        release.set()
+        t.join(120)
+    assert b_state["after"] - before == set(), "worker leaked blocks"
+    # B's result stays correct (matches the single-partition window)
+    expected = sorted(
+        (r.id, r.rn)
+        for r in df_b.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "id")).alias("rn"),
+        ).collect()
+    )
+    assert b_state["rows"] == expected
