@@ -191,48 +191,50 @@ def all_specs() -> dict[str, QuerySpec]:
         # fixed this round (array<double> -> scalar p25/p50/p75)
         "q_percentiles",
     ]
-    # Round-5 rotation: never driver-checked in r01∪r02∪r03∪r04; all
-    # verified green against the local oracle harness at sf0.01 before
-    # pinning.  Weighted toward the machinery the round-5
-    # broadcast-cardinality fixes touched: d_dsir_weights is one of the
-    # two specs whose unbounded forced broadcast was removed (the other,
-    # s_dedup_keep_best, was driver-checked in r4 and stays covered by
-    # pytest + invariance); most of the rest either had a data-scaled
-    # F.broadcast hint deleted (plans now shuffle-join / AQE-decide) or
-    # carry a BOUNDED_BY_CONSTRUCTION whitelist entry the new plan gate
-    # certifies — so the driver hash-checks exactly the plans that
-    # changed.  mm_frame_sample is the round-4 rows-only→oracle
-    # conversion, never yet driver-seen.
+    # Round-6 rotation, weighted toward what THIS round changed (the
+    # r4/r5 precedent): the six all-pairs fixes (a_win_ratio's
+    # dominance-counting rewrite, a_nn_matching_att's sorted
+    # predecessor/successor match, the four probe-bounded 1-NN evals),
+    # the two r5 sketch conversions plus the new oracle conversions
+    # (a_approx_distinct_users — driver-seen rows-only in r1, first
+    # oracle hash-check here — and the planted isotonic fixed point),
+    # and six never-checked specs whose BOUNDED_NLJ whitelist claims
+    # the driver now certifies end-to-end.  The remaining slots take
+    # the biggest never-driver-seen machinery: the whole g_* graph
+    # family, the spatial/as-of/fuzzy join tail, bigram perplexity and
+    # FIFO interval matching.  All 29 verified green against the local
+    # oracle harness at sf0.01 before pinning; 28 of 29 never appeared
+    # in any r01-r05 window.
     rotation = [
-        "d_dsir_weights",
-        "mm_frame_sample",
-        "q_value_outliers",
-        "a_association_rules",
-        "q_data_quality_report",
-        "q_chi2_priority_segment",
-        "q_moment_stats",
-        "q_winsorized_means",
-        "q_loyal_customers",
-        "e_mrl_prefix_topk",
-        "d_source_overlap",
-        "s_purged_time_folds",
-        "a_kendall_tau",
-        "e_embedding_outliers",
-        "d_quality_buckets",
-        "a_price_indices",
-        "a_markov_entropy_rate",
-        "e_quantization_error",
-        "a_rec_coverage",
-        "a_shapley_attribution",
-        "a_two_proportion_ztest",
-        "s_target_encoding_loo",
-        "a_simpsons_check",
-        "q_ship_lead_time",
-        "q_repeat_purchase_rate",
-        "d_vocab_overlap",
-        "s_length_matched_sample",
-        "a_brown_forsythe",
-        "a_countmin_users",
+        "a_win_ratio",
+        "a_nn_matching_att",
+        "a_cohens_kappa",
+        "a_macro_f1",
+        "e_knn_loo_accuracy",
+        "e_intrinsic_dimension",
+        "a_quantile_sketch",
+        "a_hll_merge_daily",
+        "e_isotonic_planted",
+        "a_approx_distinct_users",
+        "q_tost_equivalence",
+        "a_regression_discontinuity",
+        "a_theil_sen",
+        "a_mann_kendall",
+        "e_silhouette_lite",
+        "e_triplet_violations",
+        "g_grid_density_clusters",
+        "g_link_prediction",
+        "g_edge_support",
+        "g_two_hop_reach",
+        "g_clustering_coefficient",
+        "g_ego_density",
+        "g_rich_club",
+        "j_geo_nearest_hub",
+        "j_nearest_purchase_click",
+        "j_jaccard_prefix_join",
+        "j_points_in_polygon",
+        "d_perplexity_bigram",
+        "q_fifo_allocation",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]
