@@ -63,9 +63,13 @@ def s_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 S_WEIGHTED_SAMPLE_SQL = """
 WITH keyed AS (
+  -- the inner CAST AS DOUBLE matters: DuckDB evaluates UBIGINT + 0.5
+  -- in DECIMAL arithmetic, which can land 1 ulp off Spark's IEEE
+  -- double path (measured on 78/500 hash values in the e_isotonic
+  -- oracle work) — a latent boundary flake for the 6-dp rounding
   SELECT doc_id, lang, n_chars,
-    -ln((CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))
-              AS UBIGINT) + 0.5) / 4503599627370496.0) / n_chars AS k
+    -ln((CAST(CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))
+              AS UBIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0) / n_chars AS k
   FROM documents
 )
 SELECT doc_id, lang, n_chars, ROUND(k, 6) AS race_key
