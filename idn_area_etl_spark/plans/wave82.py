@@ -83,6 +83,44 @@ def a_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
     )
     armed = per_user.select(arm.alias("g"), "user_id", "pre", "post")
+    matched = matched_pairs_1d(armed)
+    return matched.agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.round(
+            (
+                F.sum(
+                    (F.col("tpost") - F.col("cpost")).cast(
+                        "decimal(27,6)"
+                    )
+                )
+                / F.count("*")
+            ).cast("double"),
+            6,
+        ).alias("att"),
+        F.round(
+            (
+                F.sum(
+                    F.abs(F.col("tpre") - F.col("cpre")).cast(
+                        "decimal(27,6)"
+                    )
+                )
+                / F.count("*")
+            ).cast("double"),
+            6,
+        ).alias("mean_match_distance"),
+    )
+
+
+def matched_pairs_1d(armed: DataFrame) -> DataFrame:
+    """Sorted 1-D nearest-neighbor matching core: for every treated
+    row (g = 1) in ``armed`` (g, user_id, pre, post), find the control
+    (g = 0) minimizing (|pre difference|, control id), with
+    replacement — via two struct-valued running-max passes over the
+    distinct-control-value rollup, never a pair product.  Returns the
+    matched frame (tid, tpre, tpost, cid, cpre, cpost).  Exported so
+    tools/stress.py can tier the exact registered shape."""
+    from idn_area_etl_spark.operators.ranks import global_running_max
+
     t = armed.filter(F.col("g") == 1).select(
         F.col("user_id").alias("tid"),
         F.col("pre").alias("tpre"),
@@ -93,8 +131,6 @@ def a_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pre").alias("cpre"),
         F.col("post").alias("cpost"),
     )
-    from idn_area_etl_spark.operators.ranks import global_running_max
-
     # one row per DISTINCT control pre-value, carrying the tie-break
     # winner at that value (min cid) — candidates at equal distance
     # resolve to per-value minimum ids, so nothing else can win
@@ -158,34 +194,7 @@ def a_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid"
         ),
     ).filter(F.col("cid").isNotNull())
-    matched = chosen.join(
-        c.select("cid", "cpre", "cpost"), "cid"
-    )
-    return matched.agg(
-        F.count("*").cast("long").alias("n_matched"),
-        F.round(
-            (
-                F.sum(
-                    (F.col("tpost") - F.col("cpost")).cast(
-                        "decimal(27,6)"
-                    )
-                )
-                / F.count("*")
-            ).cast("double"),
-            6,
-        ).alias("att"),
-        F.round(
-            (
-                F.sum(
-                    F.abs(F.col("tpre") - F.col("cpre")).cast(
-                        "decimal(27,6)"
-                    )
-                )
-                / F.count("*")
-            ).cast("double"),
-            6,
-        ).alias("mean_match_distance"),
-    )
+    return chosen.join(c.select("cid", "cpre", "cpost"), "cid")
 
 
 A_MATCH_SQL = """

@@ -217,6 +217,69 @@ def _win_ratio(ev: DataFrame) -> DataFrame:
     return win_ratio_from_events(ev)
 
 
+def _nn_matching(ev: DataFrame) -> DataFrame:
+    """a_nn_matching_att's r6 sorted predecessor/successor match shape
+    over synthetic user events (was: t×c all-pairs product)."""
+    from idn_area_etl_spark.plans.wave82 import matched_pairs_1d
+
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value")).alias("pre"),
+        F.sum(F.col("value") * 2).alias("post"),
+    )
+    armed = per_user.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(2)).alias("g"),
+        "user_id",
+        "pre",
+        "post",
+    )
+    return matched_pairs_1d(armed).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("tpost") - F.col("cpost")).alias("att_sum"),
+    )
+
+
+def _knn_eval(emb: DataFrame) -> DataFrame:
+    """The r6 probe-bounded 1-NN eval shape (e_knn_loo_accuracy):
+    200 broadcast probes × streaming corpus, min_by winner — must be
+    LINEAR in corpus size (was: corpus×corpus all-pairs)."""
+    from idn_area_etl_spark.operators.similarity import (
+        as_double_vec,
+        dot_expr,
+        norm_expr,
+    )
+
+    v = emb.select(
+        "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", norm_expr(F.col("vec")))
+    q = v.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlbl"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clbl"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
+        "qid", "qlbl", "clbl", F.round(cos * 1e6).cast("long").alias("ci")
+    )
+    nn = scored.groupBy("qid", "qlbl").agg(
+        F.min_by(
+            "clbl", F.struct((-F.col("ci")).alias("a"), F.col("clbl").alias("b"))
+        ).alias("clbl")
+    )
+    return nn.groupBy("qlbl").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("clbl") == F.col("qlbl")).cast("long")).alias("ok"),
+    )
+
+
 def run_noop(df: DataFrame) -> float:
     start = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -274,9 +337,11 @@ def main() -> None:
         # the cluster-keyed / token-keyed joins as shuffle joins
         "keep_best": lambda d, e: _keep_best(d),
         "dsir_weights": lambda d, e: _dsir(d),
-        # r6: the rank-based dominance-counting win ratio (replaced the
-        # quadratic user-pair cross join the r5 judge flagged)
+        # r6: the three all-pairs reformulations (rank-based dominance
+        # counting, sorted 1-D matching, probe-bounded 1-NN eval)
         "win_ratio": lambda uev, _: _win_ratio(uev),
+        "nn_matching": lambda uev, _: _nn_matching(uev),
+        "knn_eval": lambda d, e: _knn_eval(e),
         # NOT measured: near_dup_pairs / ngram_jaccard_pairs — blocked
         # all-pairs kernels are quadratic within a block BY DESIGN
         # (exact verification kernels); their scale story is "run them
@@ -293,6 +358,7 @@ def main() -> None:
             "asof_join": (left, right),
             "connected_components": (edges, None),
             "win_ratio": (synth_user_events(spark, n), None),
+            "nn_matching": (synth_user_events(spark, n), None),
         }
         for name, build in ops.items():
             if only is not None and name not in only:
