@@ -205,12 +205,14 @@ def ivf_ann_topk(
         / (F.col("_qnrm") * F.col("_nrm")),
         6,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.col("neighbor_id")
-    )
-    return (
-        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .orderBy("query_id", "rnk")
-    )
+    from idn_area_etl_spark.operators.ranks import grouped_topk
+
+    # two-phase salted top-k (r6): the probed inverted lists are
+    # corpus/nlist-scale per query — never one window task's worth
+    return grouped_topk(
+        cand.select("query_id", "neighbor_id", cos.alias("cosine")),
+        ["query_id"],
+        [F.desc("cosine"), F.col("neighbor_id")],
+        k,
+        salt_key=F.col("neighbor_id"),
+    ).orderBy("query_id", "rnk")

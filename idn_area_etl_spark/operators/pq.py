@@ -207,12 +207,18 @@ def pq_adc_topk(
             lambda acc, x: acc + x,
         ).alias("approx_dist")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist"), F.col("neighbor_id")
-    )
+    from idn_area_etl_spark.operators.ranks import grouped_topk
+
+    # two-phase salted top-k (r6): ADC scores one row per corpus
+    # vector per query — never one window task's worth
     return (
-        dist.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+        grouped_topk(
+            dist,
+            ["query_id"],
+            [F.col("approx_dist"), F.col("neighbor_id")],
+            k,
+            salt_key=F.col("neighbor_id"),
+        )
         .select(
             "query_id",
             "neighbor_id",

@@ -380,6 +380,52 @@ def global_running_multi(
     return out.drop(*[c for c in drop if c in out.columns])
 
 
+def grouped_topk(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_key: Column,
+    out: str = "rnk",
+) -> DataFrame:
+    """``row_number() <= k`` per group WITHOUT funneling each group's
+    full candidate set through one window task.
+
+    A plain ``Window.partitionBy(group)`` top-k shuffles every
+    candidate row of a group to a single task — fine for bounded
+    groups, fatal when the group is "one query × the whole corpus"
+    (the ANN probe pattern: 200 probes over 10^12 candidates = 200
+    tasks each streaming 10^12 rows).  This computes the IDENTICAL
+    result in two bounded phases:
+
+    1. salt each row by a hash of its unique tiebreaker into
+       ``numShufflePartitions`` buckets and take the top-k within
+       ``(group, salt)`` — parallelism is groups × buckets, and every
+       global top-k row survives (fewer than k rows of its own group
+       beat it anywhere, so fewer than k beat it in its bucket);
+    2. exact top-k over the ≤ buckets·k survivors per group.
+
+    Result equality needs ``order_cols`` to be a total order within a
+    group (unique tiebreaker — the registry-wide determinism rule);
+    the salt is data-derived (hash of ``salt_key``), so plans stay
+    deterministic under any layout.
+    """
+    n = _num_range_partitions(df)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_key), F.lit(n))
+    )
+    w1 = Window.partitionBy(*part_cols, "_salt").orderBy(*order_cols)
+    pruned = (
+        salted.withColumn("_lrk", F.row_number().over(w1))
+        .filter(F.col("_lrk") <= k)
+        .drop("_lrk", "_salt")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return pruned.withColumn(out, F.row_number().over(w2)).filter(
+        F.col(out) <= k
+    )
+
+
 def global_ntile(
     df: DataFrame, order_cols: list[Column], k: int, out: str = "tile"
 ) -> DataFrame:

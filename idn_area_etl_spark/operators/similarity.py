@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,8 +61,9 @@ def cosine_topk(
     """Exact top-k neighbors by cosine for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rnk).  The query side is
-    broadcast (it is the small side by construction); ranking windows
-    partition by query so the shuffle is on query_id only.
+    broadcast (it is the small side by construction); ranking is the
+    two-phase salted top-k of ``ranks.grouped_topk``, so no single
+    task ever sees one query's full corpus of candidates.
 
     This is the EXACT baseline — cost is O(|corpus| * |queries|) by
     design, so misuse with a large query set must fail loudly rather
@@ -105,18 +106,20 @@ def cosine_topk(
         / (F.col("_nrm_query_id") * F.col("_nrm_neighbor_id")),
         6,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.col("neighbor_id")
-    )
-    return (
-        c.join(
-            F.broadcast(q), F.col("neighbor_id") != F.col("query_id"), "inner"
-        )
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .orderBy("query_id", "rnk")
-    )
+    from idn_area_etl_spark.operators.ranks import grouped_topk
+
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id"), "inner"
+    ).select("query_id", "neighbor_id", cos.alias("cosine"))
+    # two-phase salted top-k (r6): a plain per-query window would ship
+    # each query's ENTIRE corpus of candidates to one task
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.col("neighbor_id")],
+        k,
+        salt_key=F.col("neighbor_id"),
+    ).orderBy("query_id", "rnk")
 
 
 def near_dup_pairs(
@@ -240,15 +243,17 @@ def lsh_ann_topk(
         / (F.col("_nrm_query_id") * F.col("_nrm_neighbor_id")),
         6,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.col("neighbor_id")
-    )
-    return (
-        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .orderBy("query_id", "rnk")
-    )
+    from idn_area_etl_spark.operators.ranks import grouped_topk
+
+    # two-phase salted top-k (r6): LSH bucket candidates per query are
+    # data-scaled (corpus / 2^bits × tables) — never one task's worth
+    return grouped_topk(
+        cand.select("query_id", "neighbor_id", cos.alias("cosine")),
+        ["query_id"],
+        [F.desc("cosine"), F.col("neighbor_id")],
+        k,
+        salt_key=F.col("neighbor_id"),
+    ).orderBy("query_id", "rnk")
 
 
 def label_centroids(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

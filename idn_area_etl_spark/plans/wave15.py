@@ -27,7 +27,7 @@ Bloom runtime-filter joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.bloom import bloom_pruned_semi_join
@@ -146,12 +146,18 @@ def e_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
+    from idn_area_etl_spark.operators.ranks import grouped_topk
+
+    # two-phase salted top-k (r6): quantized scores are corpus-scale
+    # per query
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= QUANT_TOPK)
+        grouped_topk(
+            pairs,
+            ["query_id"],
+            [F.col("score").desc(), F.col("neighbor_id")],
+            QUANT_TOPK,
+            salt_key=F.col("neighbor_id"),
+        )
         .select("query_id", "neighbor_id", "score",
                 F.col("rnk").cast("int").alias("rnk"))
         .orderBy("query_id", "rnk")

@@ -223,16 +223,20 @@ def e_mrl_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pcos = F.round(pdot / (F.col("pnrm") * F.col("qpnrm")), 6)
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.desc("pcos"), "vec_id"
-    )
-    shortlist = (
+    from idn_area_etl_spark.operators.ranks import grouped_topk
+
+    # two-phase salted top-k (r6): the prefix-scored stage ranks one
+    # row per corpus vector per query — never one window task's worth
+    shortlist = grouped_topk(
         cand.select(
             "query_id", "vec_id", "vec", "nrm", "qvec", "qnrm",
             pcos.alias("pcos"),
-        )
-        .withColumn("prnk", F.row_number().over(w_short))
-        .filter(F.col("prnk") <= MRL_SHORTLIST)
+        ),
+        ["query_id"],
+        [F.desc("pcos"), F.col("vec_id")],
+        MRL_SHORTLIST,
+        salt_key=F.col("vec_id"),
+        out="prnk",
     )
     fdot = F.aggregate(
         F.zip_with("vec", "qvec", lambda a, b: a * b),

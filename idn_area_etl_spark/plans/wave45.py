@@ -69,26 +69,27 @@ def e_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("_qnrm") * F.col("_cnrm")),
         6,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.col("neighbor_id")
+    from idn_area_etl_spark.operators.ranks import grouped_topk
+
+    scored = c.join(
+        F.broadcast(q),
+        F.col("query_label") != F.col("neighbor_label"),
+        "inner",
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cos.alias("cosine"),
     )
-    return (
-        c.join(
-            F.broadcast(q),
-            F.col("query_label") != F.col("neighbor_label"),
-            "inner",
-        )
-        .select(
-            "query_id",
-            "query_label",
-            "neighbor_id",
-            "neighbor_label",
-            cos.alias("cosine"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .orderBy("query_id", "rnk")
-    )
+    # two-phase salted top-k (r6): candidates are corpus-scale per query
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.col("neighbor_id")],
+        3,
+        salt_key=F.col("neighbor_id"),
+    ).orderBy("query_id", "rnk")
 
 
 E_HARDNEG_SQL = """

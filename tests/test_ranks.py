@@ -11,6 +11,7 @@ from idn_area_etl_spark.operators.ranks import (
     global_ntile,
     global_row_number,
     global_running_sum,
+    grouped_topk,
 )
 
 
@@ -250,6 +251,38 @@ def test_staged_scope_nests_and_releases_per_scope(spark):
         # inner released, outer still stored
         assert outer <= _stored_rdd_ids(spark)
     assert _stored_rdd_ids(spark) - before == set()
+
+
+def test_grouped_topk_matches_single_window(spark):
+    """The two-phase salted top-k (r6, the ANN probe-ranking shape)
+    equals the plain per-group window top-k row for row — including
+    duplicate order values resolved by the unique tiebreaker — on
+    data spread over many partitions, for several k."""
+    df = (
+        spark.range(20_000)
+        .repartition(16)
+        .select(
+            (F.col("id") % 37).alias("g"),
+            "id",
+            (F.xxhash64("id") % 13).alias("v"),
+        )
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    for k in (1, 3, 20):
+        got = sorted(
+            (r["g"], r["id"], r["rnk"])
+            for r in grouped_topk(
+                df, ["g"], order, k, salt_key=F.col("id")
+            ).collect()
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.col("id"))
+        exp = sorted(
+            (r["g"], r["id"], r["rnk"])
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .collect()
+        )
+        assert got == exp, f"k={k}"
 
 
 def test_staged_scope_is_thread_local(spark):
