@@ -102,6 +102,20 @@ def _scope_stack() -> list[list[DataFrame]]:
     return stack
 
 
+#: Per-session ref-count of live :func:`staged_scope` blocks (across
+#: ALL threads) plus the ``stageMaterialization`` value captured by the
+#: OUTERMOST scope.  Only the outermost live scope touches the
+#: session-global conf: without the ref-count, two overlapping scopes
+#: on one session restore each other's value out of order (A enters
+#: with prev=None, B enters capturing prev='persist', A exits
+#: unsetting, B exits re-setting 'persist' PERMANENTLY) — silently
+#: leaving the session in persist mode for every later helper call.
+#: Keyed by id(session); entries are removed when the count hits 0, so
+#: the map never outlives its scopes.
+_SCOPE_CONF_LOCK = threading.Lock()
+_SCOPE_CONF_REFS: dict[int, list] = {}
+
+
 @contextmanager
 def staged_scope(spark: SparkSession):
     """Bound the lifetime of staged intermediates to a ``with`` block.
@@ -134,14 +148,29 @@ def staged_scope(spark: SparkSession):
     the (session-global) SQL conf, so while any thread holds a scope,
     OTHER threads staging on the same session also stage in ``persist``
     mode.  That is benign — persist keeps recomputable lineage and
-    evictable blocks; those frames simply aren't auto-released — but
-    two scopes on the SAME session whose lifetimes overlap may restore
-    each other's conf out of order.  Threads wanting full isolation
-    should use separate sessions (``spark.newSession()``), which have
-    separate SQL confs.
+    evictable blocks; those frames simply aren't auto-released.  The
+    conf toggle itself is REF-COUNTED per session (round 7): only the
+    outermost live scope across all threads captures and restores the
+    previous value, so overlapping scopes on one session can no longer
+    restore each other's value out of order and durably flip the
+    session into persist mode (pinned by
+    ``test_staged_scope_overlap_restores_conf``).  Threads wanting
+    full conf isolation should still use separate sessions
+    (``spark.newSession()``), which have separate SQL confs.
     """
-    prev = spark.conf.get("spark.idnareaetl.stageMaterialization", None)
-    spark.conf.set("spark.idnareaetl.stageMaterialization", "persist")
+    key = id(spark)
+    with _SCOPE_CONF_LOCK:
+        ref = _SCOPE_CONF_REFS.get(key)
+        if ref is None:
+            prev = spark.conf.get(
+                "spark.idnareaetl.stageMaterialization", None
+            )
+            _SCOPE_CONF_REFS[key] = [1, prev]
+            spark.conf.set(
+                "spark.idnareaetl.stageMaterialization", "persist"
+            )
+        else:
+            ref[0] += 1
     bucket: list[DataFrame] = []
     stack = _scope_stack()
     stack.append(bucket)
@@ -149,10 +178,20 @@ def staged_scope(spark: SparkSession):
         yield
     finally:
         stack.pop()
-        if prev is None:
-            spark.conf.unset("spark.idnareaetl.stageMaterialization")
-        else:
-            spark.conf.set("spark.idnareaetl.stageMaterialization", prev)
+        with _SCOPE_CONF_LOCK:
+            ref = _SCOPE_CONF_REFS[key]
+            ref[0] -= 1
+            if ref[0] == 0:
+                del _SCOPE_CONF_REFS[key]
+                prev = ref[1]
+                if prev is None:
+                    spark.conf.unset(
+                        "spark.idnareaetl.stageMaterialization"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.idnareaetl.stageMaterialization", prev
+                    )
         for staged in bucket:
             try:
                 # blocking: block removal is otherwise asynchronous, so

@@ -410,6 +410,16 @@ def grouped_topk(
     the salt is data-derived (hash of ``salt_key``), so plans stay
     deterministic under any layout.
     """
+    clash = [c for c in ("_salt", "_lrk", out) if c in df.columns]
+    if clash:
+        # loud failure over silent clobber (the repo-wide convention):
+        # withColumn would overwrite an existing column of the same
+        # name and corrupt the ranking
+        raise ValueError(
+            f"grouped_topk intermediate/output columns {clash} already "
+            "exist on the input frame; rename them or pass a different "
+            "out="
+        )
     n = _num_range_partitions(df)
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_key), F.lit(n))

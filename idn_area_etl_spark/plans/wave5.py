@@ -214,6 +214,16 @@ def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag.  Deterministic: the sketch hash is data-fixed.  The
     zero-denominator guard keeps degenerate all-NULL groups boolean
     (both estimates and the exact count are 0 there).
+
+    PER-SF VERIFICATION OBLIGATION (r7 ADVICE): the 3×rsd bound is
+    STATISTICAL, not guaranteed — the sketch is deterministic per
+    dataset, so the booleans are stable at a VERIFIED scale factor,
+    but at an untested SF a group estimate can legitimately sit beyond
+    3σ with no code regression (the default sketch already sits at
+    1.3σ at sf0.1).  Before pinning this spec in a correctness window
+    at a new SF, re-run both booleans at that SF first (the standard
+    rotation-candidate verification).  Verified TRUE at sf0.001,
+    sf0.01, and sf0.1 (round 6).
     """
     ev = load_table(spark, sf_dir, "events")
 

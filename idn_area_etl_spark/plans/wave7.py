@@ -9,8 +9,10 @@ layout keys — the last curation/layout primitives.
   DuckDB oracle.
 - **Quantile sketch**: ``approx_percentile`` (Greenwald-Khanna) —
   mergeable, bounded-memory quantiles for 100 TB; sketch internals
-  differ per engine so the driver records rows-only and pytest
-  certifies the estimates against exact percentiles.
+  differ per engine so the oracle checks in-plan rank-error BOUND
+  booleans plus the DISCRETE median (the stored element at rank
+  ⌈n/2⌉ — never a cross-engine float-interpolated percentile; see
+  ``a_quantile_sketch``).
 - **Z-order keys** (`sinks.zvalue`): bit-interleaved 2-D clustering
   keys; the query ranks events by z-key to prove Spark and a
   bit-ops SQL replica agree bit-for-bit.  The layout use is
@@ -20,9 +22,10 @@ layout keys — the last curation/layout primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import global_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sinks import zvalue, zvalue_sql
 from idn_area_etl_spark.sources.tables import load_table
@@ -91,6 +94,21 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5× the GK guarantee of 1/accuracy rank error, merge-order-proof)
     and emits within-bound BOOLEANS plus the exact median — DuckDB pins
     the exact median and asserts the booleans are all TRUE.
+
+    The oracle-compared median is the DISCRETE one — the stored
+    ``l_extendedprice`` at rank ⌈n/2⌉ per flag — never an interpolated
+    percentile: Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    float-interpolate the even-count median with DIFFERENT formulas
+    (``lo+(hi-lo)*f`` vs ``lo*(1-f)+hi*f``), so a 1-ulp engine-version
+    divergence near a rounding boundary can flip the last digit no
+    matter how the result is rescaled — exactly the r6 driver red row.
+    A stored element is bit-identical in both engines with zero
+    arithmetic between them.  Rank selection is fully distributed: the
+    per-(flag, price) rollup gets global running counts from
+    ``ranks.global_running_multi`` (range shuffle, no single-task
+    window over data-scaled rows — the distinct-price rollup is
+    data-scaled at 100 TB), and the only plain window runs over the
+    3-row per-flag total frame (bounded by the flag domain).
     """
     li = load_table(spark, sf_dir, "lineitem")
     acc = 10_000
@@ -102,7 +120,6 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile(
             "l_extendedprice", F.lit(0.99), F.lit(acc)
         ).alias("ap99"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("x50"),
         F.expr(f"percentile(l_extendedprice, {0.5 - slack})").alias("lo50"),
         F.expr(f"percentile(l_extendedprice, {0.5 + slack})").alias("hi50"),
         F.expr(f"percentile(l_extendedprice, {0.99 - slack})").alias("lo99"),
@@ -110,14 +127,42 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi99"
         ),
     )
-    return agg.select(
+    # discrete median: distinct-value rollup -> global running counts
+    # over (flag, price) -> pick the value whose cumulative span covers
+    # the per-flag target rank prior + ceil(n/2)
+    rollup = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("cnt")
+    )
+    run = global_running_multi(
+        rollup,
+        [F.col("l_returnflag"), F.col("l_extendedprice")],
+        {"c": F.col("cnt")},
+    )
+    wflag = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    targets = (
+        rollup.groupBy("l_returnflag")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "l_returnflag",
+            (
+                F.coalesce(F.sum("n").over(wflag), F.lit(0))
+                + F.expr("(n + 1) div 2")
+            ).alias("target_rank"),
+        )
+    )
+    median = (
+        run.join(F.broadcast(targets), "l_returnflag")
+        .filter(
+            (F.col("cum_c") - F.col("cnt") < F.col("target_rank"))
+            & (F.col("target_rank") <= F.col("cum_c"))
+        )
+        .select("l_returnflag", F.col("l_extendedprice").alias("exact_p50"))
+    )
+    return agg.join(median, "l_returnflag").select(
         "l_returnflag",
-        # decimal, not round-to-double: both engines rescale the SAME
-        # interpolated double to 6 decimal digits, so the oracle compares
-        # decimals instead of relying on bit-identical double rounding
-        # (Spark HALF_UP BigDecimal vs DuckDB double ROUND can differ by
-        # 1 ulp on representation-boundary values)
-        F.col("x50").cast("decimal(18,6)").alias("exact_p50"),
+        "exact_p50",
         (
             (F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50"))
         ).alias("p50_in_bounds"),
@@ -128,12 +173,19 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A_QUANTILE_SKETCH_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+    row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice) AS rn,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
 SELECT l_returnflag,
-  CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS exact_p50,
+  l_extendedprice AS exact_p50,
   TRUE AS p50_in_bounds,
   TRUE AS p99_in_bounds
-FROM lineitem
-GROUP BY l_returnflag
+FROM ranked
+WHERE rn = (n + 1) // 2
 ORDER BY l_returnflag
 """
 

@@ -1080,6 +1080,24 @@ def test_nlj_side_extraction_units():
     assert [v for v, _, _ in audit_plan_nlj(bounded)] == ["ok"]
 
 
+def test_nlj_unparseable_children_fail_closed():
+    """An NLJ node whose children the splitter cannot separate must be
+    flagged 'unbounded' (forcing a whitelist entry or a parser fix) —
+    never silently skipped, or a plan-string regression would disable
+    the all-pairs gate while the audit still exits 0."""
+    one_child = (
+        "AdaptiveSparkPlan isFinalPlan=false\n"
+        "+- CartesianProduct\n"
+        "   +- ReusedExchange [a#1], Exchange hashpartitioning(a#1)\n"
+    )
+    assert [v for v, _, _ in audit_plan_nlj(one_child)] == ["unbounded"]
+    no_children = (
+        "AdaptiveSparkPlan isFinalPlan=false\n"
+        "+- CartesianProduct\n"
+    )
+    assert [v for v, _, _ in audit_plan_nlj(no_children)] == ["unbounded"]
+
+
 def test_broadcast_subtree_extraction_units():
     """String-level unit checks for the subtree extractor/classifier."""
     plan = (

@@ -101,6 +101,16 @@ def test_quantile_sketch_within_accuracy(spark, sf_dir):
     for r in rows:
         assert r.p50_in_bounds and r.p99_in_bounds, r
     li = load_table(spark, sf_dir, "lineitem")
+    # exact_p50 is the DISCRETE median (r7): the stored element at rank
+    # ceil(n/2) — strictly-less count below the target rank, le-count
+    # at or past it
+    for r in rows:
+        flag = li.filter(F.col("l_returnflag") == r.l_returnflag)
+        n = flag.count()
+        target = (n + 1) // 2
+        n_lt = flag.filter(F.col("l_extendedprice") < r.exact_p50).count()
+        n_le = flag.filter(F.col("l_extendedprice") <= r.exact_p50).count()
+        assert n_lt < target <= n_le, (r.l_returnflag, n_lt, target, n_le)
     raw = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "ap50"

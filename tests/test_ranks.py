@@ -345,3 +345,40 @@ def test_staged_scope_is_thread_local(spark):
         ).collect()
     )
     assert b_state["rows"] == expected
+
+
+def test_staged_scope_overlap_restores_conf(spark):
+    """Overlapping scopes on ONE session must leave the session conf
+    exactly as found (r7 ADVICE): without the per-session ref-count,
+    A-enter(prev=None) / B-enter(prev='persist') / A-exit(unset) /
+    B-exit(re-set 'persist') durably flipped the session into persist
+    mode.  Only the outermost live scope may touch the conf."""
+    import threading
+
+    from idn_area_etl_spark.operators.dedup import staged_scope
+
+    key = "spark.idnareaetl.stageMaterialization"
+    assert spark.conf.get(key, None) is None, "test needs a clean conf"
+    b_entered = threading.Event()
+    a_exited = threading.Event()
+    b_done = threading.Event()
+
+    def worker():
+        with staged_scope(spark):
+            b_entered.set()
+            a_exited.wait(120)
+        b_done.set()
+
+    t = threading.Thread(target=worker)
+    with staged_scope(spark):  # A enters first: captures prev=None
+        assert spark.conf.get(key, None) == "persist"
+        t.start()
+        assert b_entered.wait(120)
+    # A exited while B is live: conf must STAY persist (B still needs
+    # releasable staging), not be unset out from under B
+    assert spark.conf.get(key, None) == "persist"
+    a_exited.set()
+    assert b_done.wait(120)
+    t.join(120)
+    # outermost (last) exit restores the original state: unset
+    assert spark.conf.get(key, None) is None

@@ -88,6 +88,8 @@ BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "q_winsorized_means": "thr: one row per event_type (fixed taxonomy)",
     "q_impute_missing": "means: one row per event_type (fixed taxonomy)",
     "q_moment_stats": "modes: one row per c_mktsegment (5 segments)",
+    "a_quantile_sketch": "targets: one row per l_returnflag (3-value"
+    " flag domain) — the discrete-median rank targets (r7)",
     "q_loyal_customers": "nat_mean: one row per nation (25)",
     "s_target_encoding_loo": "rollup: one row per nation (25)",
     "a_markov_entropy_rate": "row_tot: one row per event_type state",
@@ -243,6 +245,11 @@ def audit_spec(df) -> list[tuple[str, set[str], str]]:
 
 _NLJ_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
+#: Sentinel child subtree for an NLJ node the splitter could not parse
+#: into two children; carries a fake data-scaled scan token so
+#: :func:`classify` can never call it bounded (fail closed).
+_UNPARSEABLE = "UNPARSEABLE_NLJ_CHILD lineitem.parquet"
+
 
 def nlj_sides(plan: str) -> list[tuple[str, str, str]]:
     """For every CartesianProduct / BroadcastNestedLoopJoin node,
@@ -250,7 +257,15 @@ def nlj_sides(plan: str) -> list[tuple[str, str, str]]:
 
     Children are the subtree lines at the SHALLOWEST content column
     below the node (deeper lines belong to a child's own subtree);
-    a binary join always has exactly two."""
+    a binary join always has exactly two.
+
+    FAIL CLOSED: a node whose two children cannot be split (an
+    unexpected plan-string shape — e.g. a ReusedExchange collapse or
+    truncated metadata) is returned with UNPARSEABLE sentinel sides,
+    which :func:`classify` cannot bound, so the node surfaces as
+    'unbounded' and forces a whitelist entry or a parser fix.  Silent
+    skipping would let a parsing regression disable the all-pairs gate
+    while still printing exit 0."""
     lines = plan.splitlines()
     out = []
     for idx, line in enumerate(lines):
@@ -265,13 +280,16 @@ def nlj_sides(plan: str) -> list[tuple[str, str, str]]:
         child_col = min(
             (_content_col(x) for x in sub if x.strip()), default=None
         )
-        if child_col is None:
-            continue
-        starts = [
-            i for i, x in enumerate(sub)
-            if x.strip() and _content_col(x) == child_col
-        ]
+        starts = (
+            []
+            if child_col is None
+            else [
+                i for i, x in enumerate(sub)
+                if x.strip() and _content_col(x) == child_col
+            ]
+        )
         if len(starts) < 2:
+            out.append((line[col:col + 90], _UNPARSEABLE, _UNPARSEABLE))
             continue
         left = "\n".join(sub[starts[0]:starts[1]])
         right = "\n".join(sub[starts[1]:])

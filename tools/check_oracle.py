@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 import sys
 from datetime import datetime
-from decimal import Decimal
+from decimal import Decimal, InvalidOperation
 
 import duckdb
 
@@ -26,20 +26,39 @@ from idn_area_etl_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
 def norm_cell(v) -> str:
+    """Canonical cell text.  STRICTNESS CONTRACT: this must be at
+    least as strict as the driver's hasher — a value pair this
+    function equates but the driver distinguishes ships a red row the
+    local gate cannot see (exactly how the r6 ``a_quantile_sketch``
+    failure slipped through: ``Decimal`` used to collapse to
+    ``repr(float(v))``, lossier than the driver's decimal hash).
+    Decimals now compare EXACTLY (scale-normalized, full precision);
+    a decimal column never equals a float column, so specs must emit
+    the same type on both engines."""
     if v is None:
         return "<null>"
+    if isinstance(v, bool):
+        # before float/int checks: bool is an int subclass
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        if v.is_nan():
+            return "<null>"
+        # exact, scale-normalized (12.50 == 12.5), plain notation so
+        # 5E+2 and 500 agree; tagged so Decimal never equals float
+        try:
+            return "dec:" + format(v.normalize(), "f")
+        except InvalidOperation:
+            return "dec:" + str(v)
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, bool):
-        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
