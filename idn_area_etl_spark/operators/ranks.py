@@ -380,6 +380,70 @@ def global_running_multi(
     return out.drop(*[c for c in drop if c in out.columns])
 
 
+def grouped_running_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    values: dict[str, Column],
+    run_prefix: str = "grun_",
+    total_prefix: str = "gtot_",
+) -> DataFrame:
+    """PER-GROUP inclusive running sums and per-group totals — the
+    distributed replacement for ``Window.partitionBy(fixed_domain_key)``
+    running aggregates (r7, the window-funnel gate's fix pattern).
+
+    A plain per-group window shuffles EVERY row of a group to one
+    task: fine when the group key is a data-scaled entity (user,
+    order) with bounded per-group rows, fatal when the key has a
+    small FIXED domain (return flag, nation, segment, language) so
+    each group holds a data-scaled share of the table.  This computes
+    the identical values from one range shuffle: global running sums
+    ordered by ``(group, order)`` (:func:`global_running_multi`),
+    minus each group's prior offset — a window over the per-group
+    totals frame, whose cardinality is the GROUP DOMAIN (3 flags, 25
+    nations, ...), not the data.
+
+    Boundedness contract: ``group_cols`` must have a fixed
+    (schema/taxonomy) domain — that is exactly the regime where the
+    plain per-group window funnels.  For data-scaled entity keys keep
+    the plain window (bounded per-group rows; scalable group count).
+    Result equality needs ``group_cols + order_cols`` to be a total
+    order (the registry-wide unique-tiebreaker rule).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    g = global_running_multi(
+        df, gcols + list(order_cols), values, run_prefix="_gcum_"
+    )
+    tot = df.groupBy(*group_cols).agg(
+        *[F.sum(v).alias(f"_gt_{k}") for k, v in values.items()]
+    )
+    wprior = Window.orderBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = tot.select(
+        *group_cols,
+        *[
+            F.coalesce(F.sum(f"_gt_{k}").over(wprior), F.lit(0)).alias(
+                f"_gprior_{k}"
+            )
+            for k in values
+        ],
+        *[F.col(f"_gt_{k}").alias(f"{total_prefix}{k}") for k in values],
+    )
+    out = g.join(F.broadcast(offs), list(group_cols))
+    for k in values:
+        out = out.withColumn(
+            f"{run_prefix}{k}",
+            F.col(f"_gcum_{k}") - F.col(f"_gprior_{k}"),
+        )
+    drop = []
+    for k in values:
+        # _gcum_/_gprior_ are the internal pieces; tot_ is the GLOBAL
+        # total global_running_multi emits (callers get gtot_ instead)
+        drop += [f"_gcum_{k}", f"_gprior_{k}", f"tot_{k}"]
+    return out.drop(*[c for c in drop if c in out.columns])
+
+
 def grouped_topk(
     df: DataFrame,
     part_cols: list[str],

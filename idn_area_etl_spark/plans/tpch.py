@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_topk
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -275,15 +276,24 @@ LIMIT 20
 
 
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale (r7, window-funnel gate): the per-nation top-3 uses
+    ``ranks.grouped_topk`` — n_name has a 25-value domain, so a plain
+    per-nation window would stream 1/25th of the customer table
+    (data-scaled) through one task."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_name").orderBy(
-        F.desc("c_acctbal"), F.col("c_custkey")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     )
     return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .withColumn("rank_in_nation", F.row_number().over(w))
-        .filter(F.col("rank_in_nation") <= 3)
+        grouped_topk(
+            joined,
+            ["n_name"],
+            [F.desc("c_acctbal"), F.col("c_custkey")],
+            3,
+            salt_key=F.col("c_custkey"),
+            out="rank_in_nation",
+        )
         .select("n_name", "rank_in_nation", "c_custkey", "c_name", "c_acctbal")
         .orderBy("n_name", "rank_in_nation")
     )

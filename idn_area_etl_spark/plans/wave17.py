@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_topk
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -81,10 +82,19 @@ def s_group_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per group)."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("gsample:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    # r7, window-funnel gate: lang has a fixed taxonomy, so a plain
+    # per-lang window would stream each language's whole document set
+    # through one task; grouped_topk is result-identical (unique
+    # (md5, doc_id) tiebreaker) with groups x buckets parallelism
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        grouped_topk(
+            docs,
+            ["lang"],
+            [h.asc(), F.col("doc_id")],
+            GROUP_SAMPLE_K,
+            salt_key=F.col("doc_id"),
+            out="rn",
+        )
         .select("lang", "doc_id", "source", F.col("rn").cast("int").alias("rn"))
         .orderBy("lang", "rn")
     )

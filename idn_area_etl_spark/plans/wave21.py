@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -169,16 +170,26 @@ def q_gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with a
     deterministic (value, custkey) rank; Σ(i·x_i) is invariant to
-    tie order because tied values are equal.  One window pass + one
+    tie order because tied values are equal.  One range shuffle + one
     aggregation — no O(n²) pair join.
+
+    Scale (r7, window-funnel gate): the per-nation rank comes from
+    ``ranks.grouped_running_multi`` — c_nationkey has a 25-value
+    domain, so a plain per-nation window would stream 1/25th of the
+    customer table (data-scaled) through one task.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    ranked = c.select(
-        "c_nationkey",
-        F.col("c_acctbal").cast("decimal(30,6)").alias("bal"),
-        F.row_number().over(w).alias("i"),
-    )
+    ranked = grouped_running_multi(
+        c.select(
+            "c_nationkey",
+            "c_acctbal",
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(30,6)").alias("bal"),
+        ),
+        ["c_nationkey"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        {"one": F.lit(1)},
+    ).select("c_nationkey", "bal", F.col("grun_one").alias("i"))
     sums = ranked.groupBy("c_nationkey").agg(
         F.count("*").alias("n"),
         F.sum("bal").cast("double").alias("sx"),

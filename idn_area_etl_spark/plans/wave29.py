@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.ranks import global_order_stats
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -251,10 +252,17 @@ def s_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(w * n_total) div 1000").alias("quota"),
     )
     h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
-    w_rank = Window.partitionBy("lang").orderBy(h, "doc_id")
-    ranked = docs.select(
-        "lang", "doc_id", "n_chars", F.row_number().over(w_rank).alias("rn")
-    )
+    # r7, window-funnel gate: lang has a 5-value domain here, so a
+    # plain per-lang rank window would stream each language's whole
+    # document set through one task; the rank is the distributed
+    # per-group running count instead (identical given the unique
+    # (md5, doc_id) order)
+    ranked = grouped_running_multi(
+        docs.select("lang", "doc_id", "n_chars"),
+        ["lang"],
+        [h, F.col("doc_id")],
+        {"one": F.lit(1)},
+    ).select("lang", "doc_id", "n_chars", F.col("grun_one").alias("rn"))
     kept = ranked.join(F.broadcast(quotas), "lang").filter(
         F.col("rn") <= F.col("quota")
     )

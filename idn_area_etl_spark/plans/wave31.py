@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.bpe import encode_with_merges, train_bpe
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -158,23 +159,24 @@ FROM stats s CROSS JOIN top t
 
 
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact quantity-weighted median unit price per returnflag."""
+    """Exact quantity-weighted median unit price per returnflag.
+
+    Scale (r7, window-funnel gate): the cumulative weights come from
+    ``ranks.grouped_running_multi`` — l_returnflag has a 3-value
+    domain, so a plain per-flag window would stream a third of the
+    distinct-price rollup (data-scaled) through one task."""
     li = load_table(spark, sf_dir, "lineitem")
     unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
     rolled = li.groupBy(
         "l_returnflag", unit.alias("price")
     ).agg(F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("w"))
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = rolled.select(
+    cum = grouped_running_multi(
+        rolled, ["l_returnflag"], [F.col("price")], {"w": F.col("w")}
+    ).select(
         "l_returnflag",
         "price",
-        F.sum("w").over(w_cum).alias("cumw"),
-        F.sum("w").over(w_all).alias("totw"),
+        F.col("grun_w").alias("cumw"),
+        F.col("gtot_w").alias("totw"),
     )
     hit = cum.filter(F.col("cumw") * 2 >= F.col("totw"))
     return (

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -227,29 +228,52 @@ FROM effects GROUP BY l_returnflag ORDER BY l_returnflag
 
 def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-rank scaling of acctbal within segment; per-segment
-    count + top-scaled customer."""
+    count + top-scaled customer.
+
+    Scale (r7, window-funnel gate): c_mktsegment has a 5-value
+    domain, so per-segment windows would stream a fifth of the
+    customer table through one task each.  percent_rank over a UNIQUE
+    ordering equals (row_number-1)/(n-1), so the scaled value comes
+    from ``ranks.grouped_running_multi`` positions, and the top-scaled
+    row per segment from one map-side-combinable ``min_by`` over the
+    unique (-scaled, custkey) ordering key."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        "c_acctbal", "c_custkey"
+    pos = grouped_running_multi(
+        c.select("c_mktsegment", "c_acctbal", "c_custkey"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        {"one": F.lit(1)},
     )
-    scaled = c.select(
+    scaled = pos.select(
         "c_mktsegment",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("scaled"),
+        F.round(
+            # SQL contract: percent_rank of a 1-row partition is 0
+            F.when(
+                F.col("gtot_one") > 1,
+                (F.col("grun_one") - 1).cast("double")
+                / (F.col("gtot_one") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("scaled"),
     )
-    w_top = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("scaled").desc(), "c_custkey"
+    winner = scaled.groupBy("c_mktsegment").agg(
+        F.min_by(
+            F.struct(
+                F.col("c_custkey").alias("ck"),
+                F.col("scaled").alias("sc"),
+            ),
+            F.struct(
+                (-F.col("scaled")).alias("neg_scaled"),
+                F.col("c_custkey").alias("ck"),
+            ),
+        ).alias("t")
     )
-    return (
-        scaled.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") == 1)
-        .select(
-            "c_mktsegment",
-            F.col("c_custkey").alias("top_custkey"),
-            F.col("scaled").alias("top_scaled"),
-        )
-        .orderBy("c_mktsegment")
-    )
+    return winner.select(
+        "c_mktsegment",
+        F.col("t.ck").alias("top_custkey"),
+        F.col("t.sc").alias("top_scaled"),
+    ).orderBy("c_mktsegment")
 
 
 Q_RANKNORM_SQL = """

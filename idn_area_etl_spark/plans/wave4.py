@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -60,12 +61,32 @@ ORDER BY user_id, ts, event_id
 
 
 def w_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale (r7, window-funnel gate): c_nationkey has a 25-value
+    domain, so a plain per-nation ntile window would stream 1/25th of
+    the customer table through one task.  The tile comes from the
+    distributed per-group position/total (``grouped_running_multi``)
+    via the SQL ntile contract: the first ``n % k`` tiles hold
+    ``n//k + 1`` rows, the rest ``n//k``."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    tiled = cust.select(
+    pos = grouped_running_multi(
+        cust.select("c_nationkey", "c_acctbal", "c_custkey"),
+        ["c_nationkey"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        {"one": F.lit(1)},
+    )
+    k = 4
+    rn = F.col("grun_one")
+    n = F.col("gtot_one")
+    q = F.floor(n / k)
+    r = n % k
+    big = r * (q + 1)
+    tile = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / q)
+    )
+    tiled = pos.select(
         "c_nationkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("tile"),
+        tile.cast("int").alias("tile"),
     )
     return (
         tiled.groupBy("c_nationkey", "tile")
@@ -136,17 +157,46 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 
 
 def w_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale (r7, window-funnel gate): s_nationkey has a 25-value
+    domain, so plain per-nation rank windows would stream 1/25th of
+    the supplier table through one task each.  All four rank
+    statistics derive from the per-(nation, balance) rollup's running
+    counts (``grouped_running_multi``) — rank/dense_rank/percent_rank/
+    cume_dist are functions of (rows before this value, distinct
+    values before this value, group total) — then join back to the
+    supplier rows on the data-scaled (nation, balance) key."""
     supp = load_table(spark, sf_dir, "supplier")
-    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
-    return supp.select(
+    rolled = supp.groupBy("s_nationkey", "s_acctbal").agg(
+        F.count("*").alias("cnt")
+    )
+    run = grouped_running_multi(
+        rolled,
+        ["s_nationkey"],
+        [F.col("s_acctbal").desc()],
+        {"cnt": F.col("cnt"), "one": F.lit(1)},
+    )
+    n = F.col("gtot_cnt")
+    rnk = F.col("grun_cnt") - F.col("cnt") + 1
+    stats = run.select(
         "s_nationkey",
-        "s_suppkey",
         "s_acctbal",
-        F.rank().over(w).cast("int").alias("rnk"),
-        F.dense_rank().over(w).cast("int").alias("drnk"),
-        F.percent_rank().over(w).alias("prnk"),
-        F.cume_dist().over(w).alias("cdist"),
-    ).orderBy("s_nationkey", "rnk", "s_suppkey")
+        rnk.cast("int").alias("rnk"),
+        F.col("grun_one").cast("int").alias("drnk"),
+        # SQL contract: percent_rank of a 1-row partition is 0, not 0/0
+        F.when(
+            n > 1, (rnk - 1).cast("double") / (n - 1).cast("double")
+        ).otherwise(F.lit(0.0)).alias("prnk"),
+        (F.col("grun_cnt").cast("double") / n.cast("double")).alias("cdist"),
+    )
+    return (
+        supp.select("s_nationkey", "s_suppkey", "s_acctbal")
+        .join(stats, ["s_nationkey", "s_acctbal"])
+        .select(
+            "s_nationkey", "s_suppkey", "s_acctbal",
+            "rnk", "drnk", "prnk", "cdist",
+        )
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
 
 
 W_RANK_DIST_SQL = """

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_topk
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -209,11 +210,18 @@ def d_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     occ = docs.select("lang", F.explode(toks).alias("w"))
     counts = occ.groupBy("lang", "w").agg(F.count("*").alias("c"))
-    ranked = counts.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("lang").orderBy(F.desc("c"), "w")
-        ),
+    # r7, window-funnel gate: lang has a fixed taxonomy while the
+    # per-language vocabulary rollup is data-scaled, so a plain
+    # per-lang window would funnel each language's whole vocabulary
+    # through one task; grouped_topk is result-identical (unique
+    # (c DESC, w) order)
+    ranked = grouped_topk(
+        counts,
+        ["lang"],
+        [F.desc("c"), F.col("w")],
+        5,
+        salt_key=F.col("w"),
+        out="rnk",
     )
     tot = counts.groupBy("lang").agg(F.sum("c").alias("total"))
     top = (

@@ -211,6 +211,10 @@ def e_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("anrm"),
     )
     # pos: lowest-id OTHER vector with the same label
+    # r7, window-funnel gate: a per-anchor row_number window would
+    # stream each anchor's whole candidate set (data-scaled) through
+    # one task; the lowest-id winner is a map-side-combinable min_by
+    # over the unique pid/nid key instead.
     pos = (
         anchors.join(
             v.select(
@@ -222,13 +226,17 @@ def e_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("albl") == F.col("plbl"))
             & (F.col("aid") != F.col("pid")),
         )
-        .withColumn(
-            "pr",
-            F.row_number().over(
-                Window.partitionBy("aid").orderBy("pid")
-            ),
+        .groupBy("aid")
+        .agg(
+            F.min_by(
+                F.struct("albl", "avec", "anrm", "pid", "pvec", "pnrm"),
+                F.col("pid"),
+            ).alias("t")
         )
-        .filter(F.col("pr") == 1)
+        .select(
+            "aid", "t.albl", "t.avec", "t.anrm",
+            "t.pid", "t.pvec", "t.pnrm",
+        )
     )
     # neg: lowest-id vector with a different label
     trip = (
@@ -241,13 +249,20 @@ def e_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("albl") != F.col("nlbl"),
         )
-        .withColumn(
-            "nr",
-            F.row_number().over(
-                Window.partitionBy("aid").orderBy("nid")
-            ),
+        .groupBy("aid")
+        .agg(
+            F.min_by(
+                F.struct(
+                    "avec", "anrm", "pvec", "pnrm",
+                    "nid", "nvec", "nnrm",
+                ),
+                F.col("nid"),
+            ).alias("t")
         )
-        .filter(F.col("nr") == 1)
+        .select(
+            "aid", "t.avec", "t.anrm", "t.pvec", "t.pnrm",
+            "t.nid", "t.nvec", "t.nnrm",
+        )
     )
     cos_pos = F.round(
         dot_expr(F.col("avec"), F.col("pvec"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -59,16 +60,20 @@ def s_budget_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "util",
         (F.col("util") / F.col("n_toks")).alias("density"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.desc("density"), "doc_id"
-    )
-    running = dens.select(
+    # r7, window-funnel gate: lang has a fixed taxonomy, so a plain
+    # per-lang running window would stream each language's whole
+    # document rollup through one task; grouped_running_multi computes
+    # the identical cumulative token spend distributed
+    running = grouped_running_multi(
+        dens,
+        ["lang"],
+        [F.desc("density"), F.col("doc_id")],
+        {"n_toks": F.col("n_toks")},
+    ).select(
         "lang",
         "n_toks",
         "util",
-        F.sum("n_toks")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_toks"),
+        F.col("grun_n_toks").alias("cum_toks"),
     ).filter(F.col("cum_toks") <= 10_000)
     return (
         running.groupBy("lang")

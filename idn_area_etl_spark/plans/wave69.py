@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -241,17 +242,18 @@ def s_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-stratified 5-fold assignment (round-robin within label);
     per-(fold, label) counts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    folded = emb.select(
+    # r7, window-funnel gate: label has a fixed small domain, so a
+    # plain per-label window would stream each label's whole embedding
+    # set through one task; the round-robin position is the
+    # distributed per-group running count instead
+    folded = grouped_running_multi(
+        emb.select("label", "vec_id"),
+        ["label"],
+        [F.col("vec_id")],
+        {"one": F.lit(1)},
+    ).select(
         "label",
-        (
-            (
-                F.row_number().over(
-                    Window.partitionBy("label").orderBy("vec_id")
-                )
-                - 1
-            )
-            % 5
-        ).alias("fold"),
+        ((F.col("grun_one") - 1) % 5).cast("int").alias("fold"),
     )
     return (
         folded.groupBy("fold", "label")

@@ -15,6 +15,16 @@ market-structure measurement.
   pass (X v then X^T s, keyed by dim index; no d x d covariance
   ever materialized).  Pinned against numpy eigendecomposition in
   tests/test_pca.py.
+- **Planted eigenvector fixed point** (`e_eigvec_planted`, exact
+  oracle — r7, the planted-isotonic pattern's fourth application):
+  a dataset whose entire variance lives on ONE coordinate axis is a
+  fixed point of power iteration IN FLOATING POINT — after one
+  step the off-axis components are exactly 0.0 (every product has
+  a 0.0 factor) and the on-axis component normalizes to exactly
+  1.0 (`p/p`; `sqrt(p*p) == p` is an IEEE round-to-nearest
+  identity), so the REAL operator must return the planted basis
+  vector bit-exactly and plain SQL pins the full output, including
+  the per-dim means.
 - **HHI** (`a_hhi_concentration`, oracle) — Herfindahl-Hirschman
   supplier concentration of each part's line revenue, averaged per
   brand-less part group (part key ranges), flagging concentrated
@@ -179,6 +189,94 @@ def e_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ #
+# e_eigvec_planted
+# ------------------------------------------------------------------ #
+
+#: Planted dominant axis.  Every other dim carries the CONSTANT d/256
+#: (zero variance), so the covariance is exactly rank-1 on axis _J.
+_J_PLANT = 7
+
+
+def e_eigvec_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted eigenvector fixed point: run the REAL power-iteration
+    operator on vectors whose only varying coordinate is axis ``_J``
+    and verify it returns that basis vector bit-exactly.
+
+    Exactness argument (every step IEEE-verifiable, no tolerance):
+
+    - off-axis dims hold the constant ``d/256`` (8 decimal digits —
+      exact in the operator's ``decimal(38,18)`` sums; ``n*d/256`` is
+      an integer/256 < 2^52, so the mean division returns the constant
+      EXACTLY and the centered values are exactly ``0.0``);
+    - on-axis values are ``(md5_52bit % 2^20) / 1024`` — 10 decimal
+      digits, exact in decimal, identical IEEE in both engines;
+    - iteration 1: every off-axis reduction term has a ``0.0`` factor
+      → off-axis components are exactly ``0.0``; the on-axis component
+      ``p`` normalizes by ``sqrt(p*p)``, and ``fl(sqrt(fl(p*p))) == p``
+      for round-to-nearest binary floating point (no over/underflow),
+      so ``v`` becomes the exact basis vector and stays there for the
+      remaining 14 iterations;
+    - explained-variance ratio: numerator and denominator differ only
+      by the operator's per-term decimal(38,18) quantization of values
+      of magnitude ~512 (relative 1e-21), so ``round(evr, 6)`` is
+      exactly ``1.0``.
+
+    The general spec (``e_top_eigenvector``) stays rows-only — real
+    embeddings have a near-degenerate top eigenspace no portable SQL
+    can pin — but this planted twin gives the identical plan (same
+    posexplode passes, same decimal reductions, same normalize loop)
+    an exact cross-engine oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("eig:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 20)
+    )
+    t = k / F.lit(1024.0)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(d == _J_PLANT, t).otherwise(
+            d.cast("double") / F.lit(256.0)
+        ),
+    )
+    planted = emb.select(vec.alias("embedding"))
+    return top_principal_component(spark, planted, n_iter=15).orderBy("d")
+
+
+E_EIGVEC_PLANTED_SQL = """
+WITH keyed AS (
+  SELECT CAST(('0x' || substring(md5('eig:' || CAST(vec_id AS VARCHAR)),
+               1, 13)) AS UBIGINT) % 1048576 AS k
+  FROM embeddings
+),
+mj AS (
+  -- the operator's exact mean: decimal(38,18) sum (10-digit values —
+  -- exact), cast to double, then one IEEE double/count division
+  SELECT CAST(SUM(CAST(k / 1024.0 AS DECIMAL(38,18))) AS DOUBLE)
+         / COUNT(*) AS mu
+  FROM keyed
+)
+SELECT CAST(d AS INT) AS d,
+  CASE WHEN d = 7 THEN (SELECT mu FROM mj) ELSE d / 256.0 END AS mean,
+  -- explicit DOUBLE casts: bare 1.0/0.0 literals are DECIMAL in DuckDB
+  CAST(CASE WHEN d = 7 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS component,
+  CAST(1.0 AS DOUBLE) AS explained_var_ratio
+FROM range(64) r(d)
+ORDER BY d
+"""
+
+
+# ------------------------------------------------------------------ #
 # a_hhi_concentration
 # ------------------------------------------------------------------ #
 
@@ -256,6 +354,14 @@ SPECS = [
         None,  # iterative normalization; numpy-pinned in tests
         doc="top principal component via distributed power iteration",
         tags=("embedding", "spectral"),
+    ),
+    QuerySpec(
+        "e_eigvec_planted",
+        e_eigvec_planted,
+        E_EIGVEC_PLANTED_SQL,
+        doc="planted rank-1 fixed point: power iteration must return "
+            "the planted basis vector bit-exactly (exact SQL oracle)",
+        tags=("embedding", "spectral", "planted"),
     ),
     QuerySpec(
         "a_hhi_concentration",

@@ -29,6 +29,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -247,12 +248,15 @@ def s_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("n_en", "n_zh").alias("quota"),
         )
     )
-    ranked = bucketed.filter(F.col("lang") == "en").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("bucket").orderBy("doc_id")
-        ),
-    )
+    # r7, window-funnel gate: bucket has a fixed 10-value domain, so a
+    # plain per-bucket rank window would stream a tenth of the en docs
+    # through one task; distributed per-group running count instead
+    ranked = grouped_running_multi(
+        bucketed.filter(F.col("lang") == "en"),
+        ["bucket"],
+        [F.col("doc_id")],
+        {"one": F.lit(1)},
+    ).withColumn("rn", F.col("grun_one"))
     kept = ranked.join(F.broadcast(quota), "bucket").filter(
         F.col("rn") <= F.col("quota")
     )

@@ -89,6 +89,20 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_psi_drift",               # 10 PSI buckets
     "a_cumulative_gains",        # second window over 10 deciles
     "d_vocab_growth",            # second window over 10 deciles
+    # grouped_running_multi / discrete-median per-group offsets frames
+    # (r7): the global window runs over the one-row-per-group-value
+    # totals frame of a FIXED-domain key (3 flags, 25 nations, 5
+    # segments/langs, 10 buckets, fixed label set)
+    "a_quantile_sketch",         # 3 l_returnflag rank targets
+    "q_gini_acctbal",            # 25 c_nationkey offsets
+    "q_rank_normalize",          # 5 c_mktsegment offsets
+    "q_weighted_median_price",   # 3 l_returnflag offsets
+    "s_budget_greedy",           # per-lang offsets (fixed taxonomy)
+    "s_mixture_rebalance",       # 5-lang offsets
+    "s_stratified_kfold",        # per-label offsets (fixed k)
+    "s_length_matched_sample",   # 10-bucket offsets
+    "w_ntile_customers",         # 25 c_nationkey offsets
+    "w_rank_distribution",       # 25 s_nationkey offsets
 }
 
 
@@ -686,8 +700,12 @@ def test_skew_report_bounded_scans(spark, specs):
 
 
 def test_weighted_median_shares_flag_exchange(spark, specs):
+    """r7 shape: grouped_running_multi over the (flag, price) rollup —
+    the only joins are broadcasts of the tiny offset frames (per-range
+    -partition histogram + 3-row per-flag offsets); no shuffle join on
+    the data-scaled side, no cartesian."""
     plan = plan_of(specs["q_weighted_median_price"].builder(spark, SF_DIR))
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -875,12 +893,15 @@ _ba = importlib.util.module_from_spec(_ba_spec)
 _ba_spec.loader.exec_module(_ba)
 BOUNDED_BY_CONSTRUCTION = _ba.BOUNDED_BY_CONSTRUCTION
 BOUNDED_NLJ = _ba.BOUNDED_NLJ
+BOUNDED_WINDOWS = _ba.BOUNDED_WINDOWS
 audit_spec = _ba.audit_spec
 audit_plan = _ba.audit_plan
 audit_plan_nlj = _ba.audit_plan_nlj
+audit_plan_windows = _ba.audit_plan_windows
 broadcast_subtrees = _ba.broadcast_subtrees
 classify = _ba.classify
 nlj_sides = _ba.nlj_sides
+window_partition_keys = _ba.window_partition_keys
 
 
 @pytest.fixture(scope="module")
@@ -1051,6 +1072,106 @@ def test_all_pairs_gate_teeth(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+# --------------------------------------------------------------------------
+# Per-group window gate (round 7).  A Window.partitionBy(g) shuffles
+# every row of a group to ONE task — the correct scalable pattern for
+# entity keys (bounded per-group rows, data-scaled group count), and
+# the r6 ANN funnel when the group count is fixed while per-group rows
+# are data-scaled.  The two are statically indistinguishable, so every
+# per-group window whose input subtree the classifier cannot bound
+# must carry a BOUNDED_WINDOWS note; the r7 sweep FIXED the fourteen
+# fixed-domain funnels it found (grouped_running_multi / grouped_topk
+# / min_by) rather than noting them.
+# --------------------------------------------------------------------------
+
+
+def test_no_unnoted_pergroup_window(specs, hint_forced_plans):
+    offenders = {}
+    for name, plan in hint_forced_plans.items():
+        bad = [
+            f"[{keys}] {sorted(big)}: {head}"
+            for verdict, big, keys, head in audit_plan_windows(plan)
+            if verdict == "unbounded" and name not in BOUNDED_WINDOWS
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, (
+        "per-group window over data-scaled input without a boundedness "
+        "note; if the group key has a fixed domain, reformulate with "
+        "ranks.grouped_running_multi / grouped_topk; if it is an entity "
+        "key or a bounded rollup, add a justified BOUNDED_WINDOWS "
+        f"entry: {offenders}"
+    )
+
+
+def test_window_whitelist_has_no_stale_entries(specs, hint_forced_plans):
+    """Every BOUNDED_WINDOWS entry must correspond to a spec whose
+    -1-config plan still HAS a flagged per-group window — otherwise
+    the entry is stale cover that would mask a future regression."""
+    stale = []
+    for name in BOUNDED_WINDOWS:
+        plan = hint_forced_plans.get(name)
+        assert plan is not None, f"whitelisted spec {name} not registered"
+        if not any(
+            v == "unbounded" for v, _, _, _ in audit_plan_windows(plan)
+        ):
+            stale.append(name)
+    assert stale == [], f"stale BOUNDED_WINDOWS entries: {stale}"
+
+
+def test_window_gate_teeth(spark, sf_dir):
+    """Re-creating the r6 funnel shape (a per-query window over
+    probe x corpus rows) MUST flag; the same ranking over an input
+    bounded by a global aggregate must pass."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from idn_area_etl_spark.sources.tables import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        w = W.partitionBy("lang").orderBy("doc_id")
+        bad = docs.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 3
+        )
+        verdicts = [v for v, _, _, _ in audit_plan_windows(plan_of(bad))]
+        assert "unbounded" in verdicts, (
+            "gate failed to flag a fixed-domain per-group window over a "
+            "data-scaled scan"
+        )
+        # the same window over a globally-bounded input must pass
+        small = docs.orderBy("doc_id").limit(100)
+        ok = small.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 3
+        )
+        assert all(
+            v == "ok" for v, _, _, _ in audit_plan_windows(plan_of(ok))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_window_partition_key_parsing_units():
+    """String-level unit checks for the Window-head partition-spec
+    parser (3-group, 2-group-with-order, 2-group-with-partition)."""
+    three = (
+        "Window [row_number() windowspecdefinition(g#5L, v#9L DESC) AS"
+        " rnk#20], [g#5L, s#6], [v#9L DESC NULLS LAST]"
+    )
+    assert window_partition_keys(three) == ["g", "s"]
+    global_two = (
+        "Window [row_number() windowspecdefinition(ts#1 ASC NULLS FIRST)"
+        " AS rn#9], [ts#1 ASC NULLS FIRST]"
+    )
+    assert window_partition_keys(global_two) == []
+    part_two = "Window [min(x#3) AS m#7], [ck#2]"
+    assert window_partition_keys(part_two) == ["ck"]
 
 
 def test_nlj_side_extraction_units():

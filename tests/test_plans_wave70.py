@@ -12,7 +12,7 @@ import pytest
 from idn_area_etl_spark.plans import all_specs, wave70
 from idn_area_etl_spark.sources.tables import TABLE_NAMES
 
-WAVE_ORACLE = ("a_logrank_test", "a_hhi_concentration")
+WAVE_ORACLE = ("a_logrank_test", "a_hhi_concentration", "e_eigvec_planted")
 
 
 def _norm(v) -> str:
@@ -74,3 +74,20 @@ def test_pca_rejects_zero_iterations(spark):
     )
     with pytest.raises(ValueError, match="n_iter >= 1"):
         top_principal_component(spark, emb, n_iter=0)
+
+
+def test_planted_eigvec_is_exact_fixed_point(spark, sf_dir):
+    """The rank-1 planted problem must return the planted basis vector
+    BIT-exactly (component 7 == 1.0, every other == 0.0 — no
+    tolerance: off-axis products all carry a 0.0 factor and the
+    on-axis normalization is p/p), constant means d/256 off-axis, and
+    explained_var_ratio exactly 1.0 after 6-dp rounding."""
+    rows = wave70.e_eigvec_planted(spark, sf_dir).orderBy("d").collect()
+    assert len(rows) == 64
+    for r in rows:
+        if r["d"] == wave70._J_PLANT:
+            assert r["component"] == 1.0
+        else:
+            assert r["component"] == 0.0
+            assert r["mean"] == r["d"] / 256.0
+        assert r["explained_var_ratio"] == 1.0

@@ -382,3 +382,44 @@ def test_staged_scope_overlap_restores_conf(spark):
     t.join(120)
     # outermost (last) exit restores the original state: unset
     assert spark.conf.get(key, None) is None
+
+
+def test_grouped_running_multi_matches_window(spark):
+    """Per-group running sums/totals from the distributed helper equal
+    the plain partitionBy window bit-for-bit on multi-partition data,
+    including multiple value columns and duplicate order values
+    resolved by the unique tiebreaker."""
+    from idn_area_etl_spark.operators.ranks import grouped_running_multi
+
+    df = (
+        spark.range(8000)
+        .repartition(16)
+        .select(
+            (F.col("id") % 5).alias("g"),
+            "id",
+            (F.xxhash64("id") % 7).alias("v"),
+            F.lit(1).alias("one"),
+        )
+    )
+    got = grouped_running_multi(
+        df,
+        ["g"],
+        [F.col("v"), F.col("id")],
+        {"v": F.col("v"), "one": F.col("one")},
+    )
+    w = Window.partitionBy("g").orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    exp = (
+        df.withColumn("grun_v", F.sum("v").over(w))
+        .withColumn("grun_one", F.sum("one").over(w))
+        .withColumn("gtot_v", F.sum("v").over(wall))
+        .withColumn("gtot_one", F.sum("one").over(wall))
+    )
+    cols = ["g", "id", "grun_v", "grun_one", "gtot_v", "gtot_one"]
+    got_rows = sorted(tuple(r[c] for c in cols) for r in got.select(*cols).collect())
+    exp_rows = sorted(tuple(r[c] for c in cols) for r in exp.select(*cols).collect())
+    assert got_rows == exp_rows

@@ -122,6 +122,16 @@ BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     # -- externally-bounded reference sets --
     "d_contamination": "benchmark suite side: eval benchmarks are fixed-size"
     " external artifacts, they do not scale with the training corpus",
+    # -- grouped_running_multi per-group offsets frames (r7): one row
+    #    per value of a FIXED-domain group key --
+    "q_gini_acctbal": "offsets: one row per c_nationkey (25)",
+    "q_rank_normalize": "offsets: one row per c_mktsegment (5)",
+    "q_weighted_median_price": "offsets: one row per l_returnflag (3)",
+    "s_budget_greedy": "offsets: one row per lang (fixed taxonomy)",
+    "s_mixture_rebalance": "offsets + quotas: one row per lang (5)",
+    "s_stratified_kfold": "offsets: one row per label (fixed k)",
+    "w_ntile_customers": "offsets: one row per c_nationkey (25)",
+    "w_rank_distribution": "offsets: one row per s_nationkey (25)",
 }
 
 
@@ -312,6 +322,210 @@ def audit_plan_nlj(plan: str) -> list[tuple[str, set[str], str]]:
     return results
 
 
+# ------------------------------------------------------------------ #
+# Pass 3 (round 7): per-group windows over data-scaled input
+# ------------------------------------------------------------------ #
+#
+# A `Window.partitionBy(g)` shuffles every row of a group to ONE task.
+# That is the CORRECT scalable pattern when the group-size is bounded
+# (per-user sessions, per-order lines) and the group COUNT scales with
+# the data — and it is the r6 funnel bug when the group count is fixed
+# (200 probes) while each group's row count is the whole corpus.  The
+# two cases are statically indistinguishable from the plan alone, so
+# this pass requires every per-group window whose INPUT subtree is fed
+# by a data-scaled scan with no global-agg/limit bound to carry an
+# explicit per-spec boundedness note below — the window analogue of
+# BOUNDED_NLJ.  A flagged spec without a note fails the audit; a note
+# whose spec no longer flags is stale and fails the pytest staleness
+# gate.  Windows with an EMPTY partition spec are out of scope here:
+# they plan an Exchange SinglePartition that the plan-shape audit in
+# PLANS.md already surfaces, and the ranks.py helpers exist precisely
+# to avoid them on data-scaled frames.
+
+#: The shared justification for every spec that ranks candidates with
+#: ranks.grouped_topk: phase 1 partitions by (group, _salt) — the
+#: per-task row count is input/(groups*buckets) — and phase 2's input
+#: is pre-pruned to <= buckets*k rows per group by phase 1.
+_GROUPED_TOPK_NOTE = (
+    "ranks.grouped_topk two-phase salted top-k: phase-1 windows add a"
+    " _salt partition key (parallelism = groups x buckets), phase-2"
+    " ranks <= buckets*k survivors per group"
+)
+
+#: The shared justification for entity-keyed windows: the partition
+#: key is a data-scaled ENTITY id (user, order, document, part...), so
+#: group COUNT grows with the data while per-group size stays bounded
+#: by real-world semantics (events per user, lines per order).
+_ENTITY_NOTE = (
+    "entity-keyed window: group count scales with the data; per-group"
+    " rows bounded by entity semantics"
+)
+
+#: Every per-group window over an input the classifier cannot bound
+#: needs an entry here.  Three legitimate classes (audited r7):
+#: entity-keyed (_ENTITY_NOTE), grouped_topk two-phase
+#: (_GROUPED_TOPK_NOTE), and bounded-input rollups whose row count the
+#: plan-string classifier cannot see.  The FOURTEEN specs the r7 sweep
+#: found with a fixed-domain group key over data-scaled rows were
+#: FIXED (grouped_running_multi / grouped_topk / min_by), not listed.
+BOUNDED_WINDOWS: dict[str, str] = {
+    # -- entity-keyed per-user event windows --
+    "a_markov_entropy_rate": _ENTITY_NOTE + " (events per user)",
+    "q_cdc_tombstones": _ENTITY_NOTE + " (events per user)",
+    "q_dormancy_reactivation": _ENTITY_NOTE + " (events per user)",
+    "q_event_trigrams": _ENTITY_NOTE + " (events per user)",
+    "q_events_first_seen": _ENTITY_NOTE + " (events per user)",
+    "q_events_running_value": _ENTITY_NOTE + " (events per user)",
+    "q_events_sessionize": _ENTITY_NOTE + " (events per user)",
+    "q_ewma_user_value": _ENTITY_NOTE + " (events per user)",
+    "q_growth_accounting": _ENTITY_NOTE + " (active weeks per user)",
+    "q_interval_coverage": _ENTITY_NOTE + " (events per user)",
+    "q_longest_streaks": _ENTITY_NOTE + " (active days per user)",
+    "q_max_drawdown": _ENTITY_NOTE + " (events per user)",
+    "q_running_balance_resets": _ENTITY_NOTE + " (events per user)",
+    "q_twap_user_value": _ENTITY_NOTE + " (events per user)",
+    "w_first_last_event": _ENTITY_NOTE + " (events per user)",
+    "w_lead_lag_events": _ENTITY_NOTE + " (events per user)",
+    "w_trailing_hour_count": _ENTITY_NOTE + " (events per user)",
+    "j_asof_purchase_click": _ENTITY_NOTE
+    + " (as-of merge key _k = user_id)",
+    "q_event_transitions": _ENTITY_NOTE + " (events per user; the"
+    " from_event window runs over the 5x5 transition rollup)",
+    # -- entity-keyed per-customer/order/part windows --
+    "q_interpurchase_gaps": _ENTITY_NOTE + " (orders per customer)",
+    "q_scd2_priority": _ENTITY_NOTE + " (orders per customer)",
+    "q_second_order_conversion": _ENTITY_NOTE + " (orders per customer)",
+    "rf_first_seen_orders": _ENTITY_NOTE + " (orders per customer)",
+    "w_moving_avg_orders": _ENTITY_NOTE + " (orders per customer)",
+    "j_point_in_time": _ENTITY_NOTE
+    + " (orders per customer; _k = custkey)",
+    "q_merge_upsert_latest": _ENTITY_NOTE + " (versions per order)",
+    "q_fifo_allocation": _ENTITY_NOTE + " (lines per part: the"
+    " lineitem/part ratio is a TPC-H constant, not data-scaled)",
+    "j_copurchase_topk": _ENTITY_NOTE + " (co-purchase fan per part is"
+    " bounded by lines-per-part x lines-per-order)",
+    "a_rec_coverage": _ENTITY_NOTE + " (co-purchase fan per part)",
+    "q_rec_mrr_hitrate": _ENTITY_NOTE + " (co-purchase fan per part)",
+    # -- entity-keyed per-document/content windows --
+    "d_repetition_score": _ENTITY_NOTE + " (tokens per document)",
+    "d_dedup_funnel": _ENTITY_NOTE + " (duplicate-cluster sizes; keys"
+    " are content hashes, cluster count scales with the corpus)",
+    "s_frequency_cap": _ENTITY_NOTE + " (rows per content key)",
+    # -- grouped_topk two-phase salted top-k --
+    "e_cosine_topk": _GROUPED_TOPK_NOTE,
+    "e_hard_negatives": _GROUPED_TOPK_NOTE,
+    "e_ann_lsh": _GROUPED_TOPK_NOTE,
+    "e_ann_lsh_planted": _GROUPED_TOPK_NOTE,
+    "e_ann_ivf": _GROUPED_TOPK_NOTE + "; plus the per-query centroid"
+    " probe ranking over fixed-nlist centroid rows",
+    "e_ann_ivf_planted": _GROUPED_TOPK_NOTE + "; plus the per-query"
+    " centroid probe ranking over fixed-nlist centroid rows",
+    "e_pq_topk": _GROUPED_TOPK_NOTE + "; plus the 50-row exact rerank"
+    " and the per-(vector, subspace) codebook assignment over fixed-k"
+    " codewords",
+    "e_pq_planted": _GROUPED_TOPK_NOTE + "; plus the 50-row exact"
+    " rerank and the per-(vector, subspace) codebook assignment",
+    "e_mrl_prefix_topk": _GROUPED_TOPK_NOTE + "; plus the final"
+    " full-dim rerank over the stage-1 shortlist",
+    "d_stopword_coverage": _GROUPED_TOPK_NOTE
+    + " (top-5 tokens per language)",
+    "s_group_sample_fixed": _GROUPED_TOPK_NOTE
+    + " (k docs per language)",
+    "q_top_customers_per_nation": _GROUPED_TOPK_NOTE
+    + " (top-3 customers per nation)",
+    # -- bounded-input rollups the plan-string classifier cannot see --
+    "q_chi2_priority_segment": "windows run over the (segment x"
+    " priority) contingency rollup: <= 25 rows",
+    "q_cohort_ltv": "window runs over the (cohort month x age month)"
+    " rollup: calendar-bounded, never fact-scale",
+    "q_moment_stats": "mode window runs over the (segment, nation)"
+    " count rollup: <= 125 rows",
+    "q_ratio_to_report": "share window runs over the per-(region,"
+    " nation) revenue rollup: <= 25 rows",
+    "w_trailing_mode": "windows run over the (day x event_type) count"
+    " rollup: calendar x fixed taxonomy, never fact-scale",
+    "a_msprt_monitor": "running windows run over the (arm x day)"
+    " rollup: 2 arms x calendar days",
+}
+
+
+def _top_bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan-node head line."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start:i])
+                start = -1
+    return groups
+
+
+def window_partition_keys(head: str) -> list[str]:
+    """Partition-key column names of a ``Window`` node head line.
+
+    Grammar: ``Window [funcs], [partspec], [orderspec]`` (3 groups) or
+    ``Window [funcs], [spec]`` where the single trailing spec is the
+    ORDER spec (contains ASC/DESC) for a global window, else the
+    partition spec."""
+    groups = _top_bracket_groups(head)
+    if len(groups) >= 3:
+        part = groups[1]
+    elif len(groups) == 2:
+        part = (
+            ""
+            if (" ASC" in groups[1] or " DESC" in groups[1])
+            else groups[1]
+        )
+    else:
+        part = ""
+    keys = []
+    for tok in part.split(","):
+        tok = tok.strip()
+        if tok:
+            keys.append(tok.split("#")[0])
+    return keys
+
+
+def window_nodes(plan: str) -> list[tuple[str, list[str], str]]:
+    """(head, partition_keys, input_subtree) for every Window node.
+
+    ``WindowGroupLimit`` nodes are skipped: they are a pushed-down
+    optimization of a Window node that is itself still in the plan."""
+    lines = plan.splitlines()
+    out = []
+    for idx, line in enumerate(lines):
+        col = _content_col(line)
+        if not line[col:].startswith("Window ["):
+            continue
+        sub = [line]
+        for below in lines[idx + 1:]:
+            if below.strip() and _content_col(below) <= col:
+                break
+            sub.append(below)
+        head = line[col:]
+        out.append((head, window_partition_keys(head), "\n".join(sub[1:])))
+    return out
+
+
+def audit_plan_windows(plan: str) -> list[tuple[str, set[str], str, str]]:
+    """(verdict, big_tables, keys, head) for every PER-GROUP window;
+    'unbounded' = the window's input subtree is fed by a data-scaled
+    scan with no global-agg/limit bound, so the spec must justify why
+    no single group funnels a data-scaled row count."""
+    results = []
+    for head, keys, subtree in window_nodes(plan):
+        if not keys:
+            continue  # global window: surfaced by the exchange audit
+        verdict, big = classify(subtree)
+        results.append((verdict, big, ",".join(keys), head[:90]))
+    return results
+
+
 def main() -> int:
     sys.path.insert(0, ".")
     from idn_area_etl_spark.plans import all_specs
@@ -323,8 +537,10 @@ def main() -> int:
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     flagged: dict[str, list[str]] = {}
     nlj_flagged: dict[str, list[str]] = {}
+    win_flagged: dict[str, list[str]] = {}
     n_bcast = 0
     n_nlj = 0
+    n_win = 0
     for name, spec in sorted(all_specs().items()):
         df = spec.builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -336,8 +552,15 @@ def main() -> int:
             n_nlj += 1
             if verdict == "unbounded" and name not in BOUNDED_NLJ:
                 nlj_flagged.setdefault(name, []).append(f"{sorted(big)} {head}")
+        for verdict, big, keys, head in audit_plan_windows(plan):
+            n_win += 1
+            if verdict == "unbounded" and name not in BOUNDED_WINDOWS:
+                win_flagged.setdefault(name, []).append(
+                    f"[{keys}] {sorted(big)} {head}"
+                )
     print(f"hint-forced broadcasts inspected: {n_bcast}")
     print(f"nested-loop/cartesian joins inspected: {n_nlj}")
+    print(f"per-group windows inspected: {n_win}")
     rc = 0
     if flagged:
         print(f"UNBOUNDED BROADCAST ({len(flagged)} specs):")
@@ -355,6 +578,14 @@ def main() -> int:
         rc = 1
     else:
         print("no all-pairs join with two data-scaled sides")
+    if win_flagged:
+        print(f"UNNOTED PER-GROUP WINDOW ({len(win_flagged)} specs):")
+        for name, subs in win_flagged.items():
+            for s in subs:
+                print(f"  {name}: {s}")
+        rc = 1
+    else:
+        print("every data-scaled per-group window carries a boundedness note")
     return rc
 
 
