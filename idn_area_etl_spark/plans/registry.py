@@ -191,50 +191,59 @@ def all_specs() -> dict[str, QuerySpec]:
         # fixed this round (array<double> -> scalar p25/p50/p75)
         "q_percentiles",
     ]
-    # Round-6 rotation, weighted toward what THIS round changed (the
-    # r4/r5 precedent): the six all-pairs fixes (a_win_ratio's
-    # dominance-counting rewrite, a_nn_matching_att's sorted
-    # predecessor/successor match, the four probe-bounded 1-NN evals),
-    # the two r5 sketch conversions plus the new oracle conversions
-    # (a_approx_distinct_users — driver-seen rows-only in r1, first
-    # oracle hash-check here — and the planted isotonic fixed point),
-    # and six never-checked specs whose BOUNDED_NLJ whitelist claims
-    # the driver now certifies end-to-end.  The remaining slots take
-    # the biggest never-driver-seen machinery: the whole g_* graph
-    # family, the spatial/as-of/fuzzy join tail, bigram perplexity and
-    # FIFO interval matching.  All 29 verified green against the local
-    # oracle harness at sf0.01 before pinning; 28 of 29 never appeared
-    # in any r01-r05 window.
+    # Round-7 rotation, weighted toward what THIS round changed (the
+    # r4-r6 precedent): a_quantile_sketch re-pinned so the driver
+    # certifies the discrete-median fix of r6's one red row; the
+    # window-funnel fixes the new per-group-window gate produced
+    # (grouped_running_multi / grouped_topk / min_by rewrites) — seven
+    # never driver-checked plus the three previously-seen w_*/top-k
+    # specs re-submitted under their NEW distributed shapes; the
+    # planted eigenvector fixed point (verdict item 4); and the
+    # verdict-named never-checked machinery: the rest of the w_*
+    # window family, the z-order layout key, the remaining s_*
+    # sampling/selection rows, and waves-70+ analytics (survival,
+    # concentration, forensic, econometric).  w_trailing_mode,
+    # s_frequency_cap and q_vintage_analysis additionally certify
+    # BOUNDED_WINDOWS whitelist claims end-to-end.  All 29 verified
+    # green against the local oracle harness at sf0.001/0.01/0.1 and
+    # 4-config invariant at sf0.01 AND sf0.1 before pinning; 25 of 29
+    # never appeared in any r01-r06 window.
     rotation = [
-        "a_win_ratio",
-        "a_nn_matching_att",
-        "a_cohens_kappa",
-        "a_macro_f1",
-        "e_knn_loo_accuracy",
-        "e_intrinsic_dimension",
         "a_quantile_sketch",
-        "a_hll_merge_daily",
-        "e_isotonic_planted",
-        "a_approx_distinct_users",
-        "q_tost_equivalence",
-        "a_regression_discontinuity",
-        "a_theil_sen",
-        "a_mann_kendall",
-        "e_silhouette_lite",
-        "e_triplet_violations",
-        "g_grid_density_clusters",
-        "g_link_prediction",
-        "g_edge_support",
-        "g_two_hop_reach",
-        "g_clustering_coefficient",
-        "g_ego_density",
-        "g_rich_club",
-        "j_geo_nearest_hub",
-        "j_nearest_purchase_click",
-        "j_jaccard_prefix_join",
-        "j_points_in_polygon",
-        "d_perplexity_bigram",
-        "q_fifo_allocation",
+        # round-7 window-funnel fixes, never driver-checked
+        "q_weighted_median_price",
+        "q_gini_acctbal",
+        "q_rank_normalize",
+        "s_budget_greedy",
+        "s_group_sample_fixed",
+        "s_mixture_rebalance",
+        "s_stratified_kfold",
+        # round-7 window-funnel fixes, re-certified under the new shape
+        "w_ntile_customers",
+        "w_rank_distribution",
+        "q_top_customers_per_nation",
+        # the planted eigenvector oracle (verdict item 4)
+        "e_eigvec_planted",
+        # never-checked w_* window family + layout
+        "w_first_last_event",
+        "w_price_range_frame",
+        "w_trailing_mode",
+        "q_zorder_events",
+        # never-checked s_* sampling/selection
+        "s_frequency_cap",
+        "s_curriculum_interleave",
+        "s_kcenter_coreset",
+        "s_importance_resample",
+        "s_temperature_mixture",
+        "s_oversample_minority",
+        "s_dp_noisy_counts",
+        # never-checked waves-70+ analytics
+        "a_logrank_test",
+        "a_hhi_concentration",
+        "a_benford_second",
+        "q_vintage_analysis",
+        "a_oaxaca_decomposition",
+        "a_hill_tail_index",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]
