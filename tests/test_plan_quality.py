@@ -106,24 +106,43 @@ BOUNDED_GLOBAL_WINDOW_OK = {
 }
 
 
+def _single_partition_windows(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow \[", line) and "_pid#" not in line:
+            for below in lines[i + 1:]:
+                if "Exchange" in below:
+                    if "Exchange SinglePartition" in below:
+                        bad.append(line.strip()[:70])
+                    break
+    return bad
+
+
 def test_no_unbounded_single_partition_window(spark, all_plans):
     offenders = {}
     for name, plan in all_plans.items():
-        lines = plan.splitlines()
-        bad = []
-        for i, line in enumerate(lines):
-            if re.search(r"\bWindow \[", line) and "_pid#" not in line:
-                for below in lines[i + 1:]:
-                    if "Exchange" in below:
-                        if "Exchange SinglePartition" in below:
-                            bad.append(line.strip()[:70])
-                        break
+        bad = _single_partition_windows(plan)
         if bad and name not in BOUNDED_GLOBAL_WINDOW_OK:
             offenders[name] = bad
     assert offenders == {}, (
         "single-partition window over data-dependent cardinality; use "
         f"operators/ranks.py primitives: {offenders}"
     )
+
+
+def test_global_window_whitelist_has_no_stale_entries(spark, all_plans):
+    """Every BOUNDED_GLOBAL_WINDOW_OK entry must correspond to a spec
+    whose plan still HAS a single-partition window — otherwise the
+    entry is stale cover that would mask a future regression (r7,
+    mirroring the broadcast/NLJ/per-group-window staleness gates)."""
+    stale = []
+    for name in BOUNDED_GLOBAL_WINDOW_OK:
+        plan = all_plans.get(name)
+        assert plan is not None, f"whitelisted spec {name} not registered"
+        if not _single_partition_windows(plan):
+            stale.append(name)
+    assert stale == [], f"stale BOUNDED_GLOBAL_WINDOW_OK entries: {stale}"
 
 
 def test_oracle_specs_emit_hashable_columns(specs, all_built):

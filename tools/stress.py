@@ -207,6 +207,40 @@ def synth_user_events(spark, n: int) -> DataFrame:
     )
 
 
+def synth_flag_rows(spark, n: int) -> DataFrame:
+    """N rows over a FIXED 3-value flag domain with hash-derived
+    prices/weights — the r7 window-funnel shape (each flag group holds
+    n/3 data-scaled rows; a plain per-flag window streams them through
+    one task)."""
+    return spark.range(n).select(
+        "id",
+        F.pmod(F.xxhash64("id"), F.lit(3)).cast("string").alias("flag"),
+        (
+            F.pmod(F.xxhash64(F.col("id") * 3 + 1), F.lit(1_000_000))
+            / F.lit(100.0)
+        ).alias("price"),
+        (F.pmod(F.xxhash64(F.col("id") * 7 + 3), F.lit(50)) + 1).alias("w"),
+    )
+
+
+def _grouped_running(rows: DataFrame) -> DataFrame:
+    """ranks.grouped_running_multi end-to-end on the weighted-median
+    shape: per-(flag, price) rollup -> per-flag running weights ->
+    the covering (median) row per flag — the r7 plan that replaced
+    the per-flag window funnel."""
+    from idn_area_etl_spark.operators.ranks import grouped_running_multi
+
+    rolled = rows.groupBy("flag", "price").agg(F.sum("w").alias("w"))
+    cum = grouped_running_multi(
+        rolled, ["flag"], [F.col("price")], {"w": F.col("w")}
+    )
+    return (
+        cum.filter(F.col("grun_w") * 2 >= F.col("gtot_w"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("wmedian"))
+    )
+
+
 def _win_ratio(ev: DataFrame) -> DataFrame:
     """a_win_ratio end-to-end (per-user rollup → (errors, value)
     histogram → two distributed cumulative-count passes → dominance
@@ -340,6 +374,9 @@ def main() -> None:
         # r6: the three all-pairs reformulations (rank-based dominance
         # counting, sorted 1-D matching, probe-bounded 1-NN eval)
         "win_ratio": lambda uev, _: _win_ratio(uev),
+        # r7: the per-group running-sum primitive that replaced the
+        # fixed-domain window funnels (weighted-median shape)
+        "grouped_running": lambda rows, _: _grouped_running(rows),
         "nn_matching": lambda uev, _: _nn_matching(uev),
         "knn_eval": lambda d, e: _knn_eval(e),
         # NOT measured: near_dup_pairs / ngram_jaccard_pairs — blocked
@@ -358,6 +395,7 @@ def main() -> None:
             "asof_join": (left, right),
             "connected_components": (edges, None),
             "win_ratio": (synth_user_events(spark, n), None),
+            "grouped_running": (synth_flag_rows(spark, n), None),
             "nn_matching": (synth_user_events(spark, n), None),
         }
         for name, build in ops.items():
