@@ -380,6 +380,47 @@ def global_running_multi(
     return out.drop(*[c for c in drop if c in out.columns])
 
 
+def discrete_quantiles(
+    df: DataFrame,
+    col: Column,
+    qs: list[tuple[int, int]],
+    prefix: str = "t",
+) -> DataFrame:
+    """One-row frame of DISCRETE global quantiles of ``col``: column
+    ``{prefix}{i}`` holds the stored element at rank ⌈qᵢ·n⌉ for
+    ``qs[i] = (num, den)`` (the quantile as an exact integer
+    fraction — ranks are computed in integer arithmetic, never via a
+    float multiply).
+
+    This is the engine's replacement for emitting or thresholding on
+    interpolated percentiles (r7, the ``a_quantile_sketch`` red-row
+    class): Spark ``percentile`` and DuckDB ``quantile_cont``
+    interpolate with different formulas, so a 1-ulp engine divergence
+    near a rounding boundary can flip an emitted digit — or, for
+    rounded THRESHOLDS, flip the bucket of any stored value that
+    lands between the two engines' rounded variants.  A stored
+    element is bit-identical in both engines with zero arithmetic.
+
+    Scale: one shuffle to the distinct-value rollup, then
+    :func:`global_running_multi` running counts (range-partitioned,
+    no single-task window) and a global min-per-target aggregate.
+    """
+    rolled = df.select(col.alias("_v")).groupBy("_v").agg(
+        F.count("*").alias("_cnt")
+    )
+    run = global_running_multi(rolled, [F.col("_v")], {"c": F.col("_cnt")})
+    lo = F.col("cum_c") - F.col("_cnt")
+    aggs = []
+    for i, (num, den) in enumerate(qs):
+        rank = F.expr(f"({num} * tot_c + {den} - 1) div {den}")
+        aggs.append(
+            F.min(
+                F.when((lo < rank) & (rank <= F.col("cum_c")), F.col("_v"))
+            ).alias(f"{prefix}{i}")
+        )
+    return run.agg(*aggs)
+
+
 def grouped_running_multi(
     df: DataFrame,
     group_cols: list[str],

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from idn_area_etl_spark.functions.cleaning import fix_wrapped_name, format_coordinate
 from idn_area_etl_spark.operators.joins import asof_join, range_join_within
+from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -273,27 +274,64 @@ ORDER BY a.user_id
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scalar quartile columns (not array<double>): the driver's oracle
-    # canonicalizer hashes cells with pandas, which cannot hash lists.
+    """Per-priority quartiles of order totals — DISCRETE (the stored
+    element at rank ⌈q·n⌉), never a cross-engine float-interpolated
+    percentile (the r6 `a_quantile_sketch` red-row class: Spark
+    `percentile` and DuckDB `quantile_cont` interpolate with different
+    formulas, so a 1-ulp engine divergence near a 6-dp boundary can
+    flip the compared digit).  A stored double is bit-identical in
+    both engines with zero arithmetic between them.
+
+    Scale (r7): o_orderpriority has a 5-value domain, so the rank
+    selection runs over the per-(priority, price) rollup's distributed
+    running counts (`ranks.grouped_running_multi`) — the old exact
+    `percentile` aggregate buffered a fifth of the order totals per
+    group; a plain per-priority window would do the same.  Scalar
+    quartile columns (not array<double>): the driver's oracle
+    canonicalizer hashes cells with pandas, which cannot hash lists.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+    rolled = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count("*").alias("cnt")
+    )
+    run = grouped_running_multi(
+        rolled,
+        ["o_orderpriority"],
+        [F.col("o_totalprice")],
+        {"c": F.col("cnt")},
+    )
+    lo = F.col("grun_c") - F.col("cnt")  # rows strictly before this value
+
+    def covering(rank):
+        return (lo < rank) & (rank <= F.col("grun_c"))
+
+    r25 = F.expr("(gtot_c + 3) div 4")
+    r50 = F.expr("(gtot_c + 1) div 2")
+    r75 = F.expr("(3 * gtot_c + 3) div 4")
     return (
-        orders.groupBy("o_orderpriority")
+        run.groupBy("o_orderpriority")
         .agg(
-            F.round(pct[0], 6).alias("p25"),
-            F.round(pct[1], 6).alias("p50"),
-            F.round(pct[2], 6).alias("p75"),
+            F.min(F.when(covering(r25), F.col("o_totalprice"))).alias("p25"),
+            F.min(F.when(covering(r50), F.col("o_totalprice"))).alias("p50"),
+            F.min(F.when(covering(r75), F.col("o_totalprice"))).alias("p75"),
         )
         .orderBy("o_orderpriority")
     )
 
 
 Q_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
 SELECT o_orderpriority,
-  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
-  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-  round(quantile_cont(o_totalprice, 0.75), 6) AS p75
-FROM orders
+  MIN(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS p25,
+  MIN(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+  MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END) AS p75
+FROM ranked
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """

@@ -29,6 +29,28 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+def discrete_thresholds_sql(
+    src: str, col: str, qs: list[tuple[int, int]], prefix: str = "t"
+) -> str:
+    """DuckDB subquery producing one row of DISCRETE quantile
+    thresholds of ``col`` over ``src``: ``{prefix}{i}`` = the stored
+    element at rank ⌈qᵢ·n⌉, ranks in exact integer arithmetic — the
+    SQL twin of ``operators.ranks.discrete_quantiles`` (r7: never
+    emit or threshold on a cross-engine float-interpolated
+    percentile; see the a_quantile_sketch red-row class)."""
+    sel = ", ".join(
+        f"MIN(CASE WHEN rn = ({num} * n + {den} - 1) // {den} "
+        f"THEN v END) AS {prefix}{i}"
+        for i, (num, den) in enumerate(qs)
+    )
+    return (
+        f"(SELECT {sel} FROM (SELECT {col} AS v, "
+        f"row_number() OVER (ORDER BY {col}) AS rn, "
+        f"COUNT(*) OVER () AS n FROM {src} AS _dqs_{prefix}) "
+        f"AS _dq_{prefix})"
+    )
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

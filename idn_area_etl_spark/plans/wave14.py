@@ -199,6 +199,12 @@ def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select(
             "day",
             "rev",
+            # interpolation-safe despite F.percentile: the rn >= 7
+            # filter keeps only FULL 7-row frames, where the median
+            # rank 0.5*(7-1)=3 is an exact integer, so both engines
+            # return the stored 4th element with no interpolation
+            # arithmetic (the partial even-count edge frames that
+            # WOULD interpolate are filtered out)
             F.percentile("rev", F.lit(0.5)).over(frame).alias("med7"),
             F.row_number().over(w).alias("rn"),
         )

@@ -99,22 +99,38 @@ ORDER BY p.bal DESC, p.custkey
 MAD_K = 3.0
 
 
+def _discrete_median(df: DataFrame, col, out: str) -> DataFrame:
+    """One-row frame holding the DISCRETE global median of ``col`` —
+    the stored element at rank ⌈n/2⌉, selected via distributed running
+    counts over the distinct-value rollup (r7: never oracle-compare a
+    cross-engine float-interpolated percentile; a stored double is
+    bit-identical in both engines with zero arithmetic between them,
+    and the rollup rank selection has no single-task window)."""
+    from idn_area_etl_spark.operators.ranks import global_running_multi
+
+    rolled = df.select(col.alias("_v")).groupBy("_v").agg(
+        F.count("*").alias("_cnt")
+    )
+    run = global_running_multi(rolled, [F.col("_v")], {"c": F.col("_cnt")})
+    t = F.expr("(tot_c + 1) div 2")
+    return run.filter(
+        (F.col("cum_c") - F.col("_cnt") < t) & (t <= F.col("cum_c"))
+    ).select(F.col("_v").alias(out))
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type outlier share under the 3×MAD robust screen.
 
-    med and mad are global exact percentiles, rounded at 6 dp on
-    both engines before thresholding (single-expression double
-    comparisons after that).
+    med and mad are DISCRETE global medians (stored elements at rank
+    ⌈n/2⌉) — emitted and thresholded as raw doubles, so both engines
+    compare against bit-identical values with no interpolation
+    arithmetic to diverge (the r6 a_quantile_sketch red-row class).
     """
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
-    )
+    stats = _discrete_median(ev, F.col("value"), "med")
     with_med = ev.crossJoin(F.broadcast(stats))
-    mad_row = with_med.agg(
-        F.round(
-            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
-        ).alias("mad")
+    mad_row = _discrete_median(
+        with_med, F.abs(F.col("value") - F.col("med")), "mad"
     )
     full = with_med.crossJoin(F.broadcast(mad_row))
     return (
@@ -142,13 +158,19 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_MAD_SQL = f"""
-WITH med AS (
-  SELECT ROUND(quantile_cont(value, 0.5), 6) AS med FROM events
+WITH r1 AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+    COUNT(*) OVER () AS n
+  FROM events
 ),
-mad AS (
-  SELECT ROUND(quantile_cont(ABS(value - med), 0.5), 6) AS mad
+med AS (SELECT value AS med FROM r1 WHERE rn = (n + 1) // 2),
+r2 AS (
+  SELECT ABS(value - med) AS d,
+    row_number() OVER (ORDER BY ABS(value - med)) AS rn,
+    COUNT(*) OVER () AS n
   FROM events CROSS JOIN med
-)
+),
+mad AS (SELECT d AS mad FROM r2 WHERE rn = (n + 1) // 2)
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n,
   CAST(SUM(CASE WHEN ABS(value - med) > {MAD_K} * mad

@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.text import tokens_expr
-from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.operators.ranks import discrete_quantiles
+from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
 from idn_area_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------------------------ #
@@ -53,6 +54,7 @@ from idn_area_etl_spark.sources.tables import load_table
 # ------------------------------------------------------------------ #
 
 RFM_QS = (0.2, 0.4, 0.6, 0.8)
+RFM_Q_FRACS = [(1, 5), (2, 5), (3, 5), (4, 5)]
 
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,19 +75,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("monetary", F.col("monetary_dec").cast("double"))
     )
-    thr = per_cust.agg(
-        *[
-            F.round(F.percentile("recency", F.lit(q)), 6).alias(f"r{i}")
-            for i, q in enumerate(RFM_QS)
-        ],
-        *[
-            F.round(F.percentile("freq", F.lit(q)), 6).alias(f"f{i}")
-            for i, q in enumerate(RFM_QS)
-        ],
-        *[
-            F.round(F.percentile("monetary", F.lit(q)), 6).alias(f"m{i}")
-            for i, q in enumerate(RFM_QS)
-        ],
+    # discrete quintile thresholds (stored elements at rank ceil(q*n))
+    # — never cross-engine float-interpolated percentiles (r7, the
+    # a_quantile_sketch red-row class)
+    thr = (
+        discrete_quantiles(per_cust, F.col("recency"), RFM_Q_FRACS, "r")
+        .crossJoin(
+            discrete_quantiles(per_cust, F.col("freq"), RFM_Q_FRACS, "f")
+        )
+        .crossJoin(
+            discrete_quantiles(
+                per_cust, F.col("monetary"), RFM_Q_FRACS, "m"
+            )
+        )
     )
     scored = per_cust.crossJoin(F.broadcast(thr))
     r_exceed = sum(
@@ -118,18 +120,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rfm_sql() -> str:
-    r_thr = ", ".join(
-        f"ROUND(quantile_cont(recency, {q}), 6) AS r{i}"
-        for i, q in enumerate(RFM_QS)
-    )
-    f_thr = ", ".join(
-        f"ROUND(quantile_cont(freq, {q}), 6) AS f{i}"
-        for i, q in enumerate(RFM_QS)
-    )
-    m_thr = ", ".join(
-        f"ROUND(quantile_cont(monetary, {q}), 6) AS m{i}"
-        for i, q in enumerate(RFM_QS)
-    )
+    r_thr = discrete_thresholds_sql("per_cust", "recency", RFM_Q_FRACS, "r")
+    f_thr = discrete_thresholds_sql("per_cust", "freq", RFM_Q_FRACS, "f")
+    m_thr = discrete_thresholds_sql("per_cust", "monetary", RFM_Q_FRACS, "m")
     r_ex = " + ".join(
         f"CASE WHEN recency > r{i} THEN 1 ELSE 0 END"
         for i in range(len(RFM_QS))
@@ -153,7 +146,7 @@ per_cust AS (
     CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS monetary
   FROM orders GROUP BY o_custkey
 ),
-thr AS (SELECT {r_thr}, {f_thr}, {m_thr} FROM per_cust),
+thr AS (SELECT * FROM {r_thr} CROSS JOIN {f_thr} CROSS JOIN {m_thr}),
 scored AS (
   SELECT
     CAST(5 - ({r_ex}) AS VARCHAR) || '-' ||
@@ -302,15 +295,9 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10 equal-frequency buckets of order totalprice from 9 exact
     decile thresholds (one agg pass; no global sort)."""
     o = load_table(spark, sf_dir, "orders")
-    qs = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
-    thr = o.agg(
-        *[
-            F.round(F.percentile("o_totalprice", F.lit(q)), 6).alias(
-                f"t{i}"
-            )
-            for i, q in enumerate(qs)
-        ]
-    )
+    qs = [(i, EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS)]
+    # discrete decile thresholds (r7: no interpolated percentiles)
+    thr = discrete_quantiles(o, F.col("o_totalprice"), qs)
     bucket = 1 + sum(
         (F.col("o_totalprice") > F.col(f"t{i}")).cast("int")
         for i in range(len(qs))
@@ -332,17 +319,14 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _equidepth_sql() -> str:
-    qs = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
-    thr = ", ".join(
-        f"ROUND(quantile_cont(o_totalprice, {q}), 6) AS t{i}"
-        for i, q in enumerate(qs)
-    )
+    qs = [(i, EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS)]
+    thr = discrete_thresholds_sql("orders", "o_totalprice", qs)
     ex = " + ".join(
         f"CASE WHEN o_totalprice > t{i} THEN 1 ELSE 0 END"
         for i in range(len(qs))
     )
     return f"""
-WITH thr AS (SELECT {thr} FROM orders)
+WITH thr AS (SELECT * FROM {thr})
 SELECT 1 + ({ex}) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
   ROUND(MIN(o_totalprice), 4) AS lo,
   ROUND(MAX(o_totalprice), 4) AS hi,

@@ -48,7 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.operators.ranks import discrete_quantiles
+from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
 from idn_area_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------------------------ #
@@ -298,13 +299,10 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("spend_dec")
     ).withColumn("spend", F.col("spend_dec").cast("double"))
-    qs = [i / LORENZ_BUCKETS for i in range(1, LORENZ_BUCKETS)]
-    thr = per_cust.agg(
-        *[
-            F.round(F.percentile("spend", F.lit(q)), 6).alias(f"t{i}")
-            for i, q in enumerate(qs)
-        ],
-        F.sum("spend_dec").alias("tot_dec"),
+    qs = [(i, LORENZ_BUCKETS) for i in range(1, LORENZ_BUCKETS)]
+    # discrete decile thresholds (r7: no interpolated percentiles)
+    thr = discrete_quantiles(per_cust, F.col("spend"), qs).crossJoin(
+        per_cust.agg(F.sum("spend_dec").alias("tot_dec"))
     )
     bucket = 1 + sum(
         (F.col("spend") > F.col(f"t{i}")).cast("int")
@@ -328,11 +326,8 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lorenz_sql() -> str:
-    qs = [i / LORENZ_BUCKETS for i in range(1, LORENZ_BUCKETS)]
-    thr = ", ".join(
-        f"ROUND(quantile_cont(spend, {q}), 6) AS t{i}"
-        for i, q in enumerate(qs)
-    )
+    qs = [(i, LORENZ_BUCKETS) for i in range(1, LORENZ_BUCKETS)]
+    thr = discrete_thresholds_sql("per_cust", "spend", qs)
     ex = " + ".join(
         f"CASE WHEN spend > t{i} THEN 1 ELSE 0 END"
         for i in range(len(qs))
@@ -344,7 +339,7 @@ WITH per_cust AS (
     CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS spend
   FROM orders GROUP BY 1
 ),
-thr AS (SELECT {thr}, SUM(spend_dec) AS tot_dec FROM per_cust)
+thr AS (SELECT * FROM {thr} CROSS JOIN (SELECT SUM(spend_dec) AS tot_dec FROM per_cust) AS _tot)
 SELECT 1 + ({ex}) AS decile,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
   CAST(SUM(spend_dec) AS DOUBLE) AS decile_spend,

@@ -50,11 +50,32 @@ WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
 def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type winsorized mean of value (clip at p05/p95)."""
+    """Per-event-type winsorized mean of value (clip at p05/p95).
+
+    The clip thresholds are DISCRETE per-type quantiles (stored
+    elements at rank ⌈q·n⌉) — clipped values land exactly ON a stored
+    value, so the emitted mean carries no cross-engine interpolation
+    arithmetic (r7, the a_quantile_sketch red-row class); the rank
+    selection runs over the per-(type, value) rollup's distributed
+    running counts (event_type is a fixed taxonomy — the funnel
+    regime for a plain per-type window)."""
     ev = load_table(spark, sf_dir, "events")
-    thr = ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(WINSOR_LO)), 6).alias("lo"),
-        F.round(F.percentile("value", F.lit(WINSOR_HI)), 6).alias("hi"),
+    rolled = ev.groupBy("event_type", "value").agg(
+        F.count("*").alias("cnt")
+    )
+    run = grouped_running_multi(
+        rolled, ["event_type"], [F.col("value")], {"c": F.col("cnt")}
+    )
+    before = F.col("grun_c") - F.col("cnt")
+    lo_r = F.expr("(gtot_c + 19) div 20")        # ceil(0.05 n)
+    hi_r = F.expr("(19 * gtot_c + 19) div 20")   # ceil(0.95 n)
+    thr = run.groupBy("event_type").agg(
+        F.min(
+            F.when((before < lo_r) & (lo_r <= F.col("grun_c")), F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when((before < hi_r) & (hi_r <= F.col("grun_c")), F.col("value"))
+        ).alias("hi"),
     )
     clipped = ev.join(F.broadcast(thr), "event_type").select(
         "event_type",
@@ -77,11 +98,17 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_WINSOR_SQL = f"""
-WITH thr AS (
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+thr AS (
   SELECT event_type,
-    ROUND(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
-    ROUND(quantile_cont(value, {WINSOR_HI}), 6) AS hi
-  FROM events GROUP BY event_type
+    MIN(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo,
+    MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS hi
+  FROM ranked GROUP BY event_type
 ),
 clipped AS (
   SELECT e.event_type, LEAST(GREATEST(e.value, t.lo), t.hi) AS v

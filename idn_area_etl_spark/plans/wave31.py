@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.bpe import encode_with_merges, train_bpe
-from idn_area_etl_spark.operators.ranks import grouped_running_multi
+from idn_area_etl_spark.operators.ranks import (
+    global_running_multi,
+    grouped_running_multi,
+)
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -99,12 +102,21 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     + skew ratio + hottest keys."""
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    # discrete p99 (stored count at rank ceil(0.99 n)) — never a
+    # cross-engine float-interpolated percentile (the r6
+    # a_quantile_sketch red-row class); rank-selected from running
+    # counts over the tiny distinct-count rollup
+    rolled = per_key.groupBy("cnt").agg(F.count("*").alias("kc"))
+    run = global_running_multi(rolled, [F.col("cnt")], {"k": F.col("kc")})
+    t99 = F.expr("(99 * tot_k + 99) div 100")
+    p99 = run.filter(
+        (F.col("cum_k") - F.col("kc") < t99) & (t99 <= F.col("cum_k"))
+    ).select(F.col("cnt").cast("double").alias("p99_cnt"))
     stats = per_key.agg(
         F.count("*").alias("n_keys"),
         F.max("cnt").alias("max_cnt"),
         F.sum(F.col("cnt").cast("decimal(20,0)")).alias("total"),
-        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_cnt"),
-    ).select(
+    ).crossJoin(F.broadcast(p99)).select(
         "n_keys",
         "max_cnt",
         "p99_cnt",
@@ -132,10 +144,18 @@ Q_SKEW_SQL = f"""
 WITH per_key AS (
   SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
 ),
+p99r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+    COUNT(*) OVER () AS n
+  FROM per_key
+),
+p99 AS (
+  SELECT CAST(cnt AS DOUBLE) AS p99_cnt
+  FROM p99r WHERE rn = (99 * n + 99) // 100
+),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
     CAST(MAX(cnt) AS BIGINT) AS max_cnt,
-    ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
     ROUND(CAST(MAX(cnt) AS DOUBLE)
           / (CAST(SUM(CAST(cnt AS DECIMAL(20,0))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE)), 6) AS skew_ratio
@@ -148,8 +168,8 @@ top AS (
     ORDER BY cnt DESC, l_orderkey LIMIT {SKEW_TOP_KEYS}
   )
 )
-SELECT s.n_keys, s.max_cnt, s.p99_cnt, s.skew_ratio, t.hot_keys
-FROM stats s CROSS JOIN top t
+SELECT s.n_keys, s.max_cnt, p.p99_cnt, s.skew_ratio, t.hot_keys
+FROM stats s CROSS JOIN p99 p CROSS JOIN top t
 """
 
 

@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.ranks import global_running_sum
-from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.operators.ranks import discrete_quantiles
+from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
 from idn_area_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------------------------ #
@@ -163,13 +164,9 @@ CALIB_BUCKETS = 10
 def a_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram: decile buckets of score vs positive rate."""
     s = _scored(spark, sf_dir)
-    qs = [i / CALIB_BUCKETS for i in range(1, CALIB_BUCKETS)]
-    thr = s.agg(
-        *[
-            F.round(F.percentile("score", F.lit(q)), 6).alias(f"t{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
+    qs = [(i, CALIB_BUCKETS) for i in range(1, CALIB_BUCKETS)]
+    # discrete decile thresholds (r7: no interpolated percentiles)
+    thr = discrete_quantiles(s, F.col("score"), qs)
     bucket = 1 + sum(
         (F.col("score") > F.col(f"t{i}")).cast("int")
         for i in range(len(qs))
@@ -194,11 +191,8 @@ def a_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _calib_sql() -> str:
-    qs = [i / CALIB_BUCKETS for i in range(1, CALIB_BUCKETS)]
-    thr = ", ".join(
-        f"ROUND(quantile_cont(score, {q}), 6) AS t{i}"
-        for i, q in enumerate(qs)
-    )
+    qs = [(i, CALIB_BUCKETS) for i in range(1, CALIB_BUCKETS)]
+    thr = discrete_thresholds_sql("scored", "score", qs)
     ex = " + ".join(
         f"CASE WHEN score > t{i} THEN 1 ELSE 0 END"
         for i in range(len(qs))
@@ -209,7 +203,7 @@ WITH scored AS (
     CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
   FROM embeddings
 ),
-thr AS (SELECT {thr} FROM scored)
+thr AS (SELECT * FROM {thr})
 SELECT 1 + ({ex}) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
   ROUND(CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE)
         / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,

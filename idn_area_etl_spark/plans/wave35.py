@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.ranks import global_running_multi
-from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.operators.ranks import discrete_quantiles
+from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
 from idn_area_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------------------------ #
@@ -44,22 +45,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of event value distribution: first half (reference) vs
     second half (current), decile bins from the reference half."""
     ev = load_table(spark, sf_dir, "events")
-    split = ev.agg(
-        F.round(F.percentile(F.unix_micros("ts"), F.lit(0.5)), 6).alias(
-            "split_us"
-        )
-    )
+    # discrete split point (the stored epoch-microsecond at rank
+    # ceil(n/2)) — an integer both engines hold bit-identically (r7:
+    # no interpolated percentiles)
+    split = discrete_quantiles(
+        ev, F.unix_micros("ts"), [(1, 2)], prefix="split_us"
+    ).select(F.col("split_us0").alias("split_us"))
     tagged = ev.crossJoin(F.broadcast(split)).select(
         "value",
         (F.unix_micros("ts") <= F.col("split_us")).alias("is_ref"),
     )
-    qs = [i / PSI_BUCKETS for i in range(1, PSI_BUCKETS)]
-    thr = tagged.filter("is_ref").agg(
-        *[
-            F.round(F.percentile("value", F.lit(q)), 6).alias(f"t{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
+    qs = [(i, PSI_BUCKETS) for i in range(1, PSI_BUCKETS)]
+    thr = discrete_quantiles(tagged.filter("is_ref"), F.col("value"), qs)
     bucket = 1 + sum(
         (F.col("value") > F.col(f"t{i}")).cast("int")
         for i in range(len(qs))
@@ -95,10 +92,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _psi_sql() -> str:
-    qs = [i / PSI_BUCKETS for i in range(1, PSI_BUCKETS)]
-    thr = ", ".join(
-        f"ROUND(quantile_cont(value, {q}), 6) AS t{i}"
-        for i, q in enumerate(qs)
+    qs = [(i, PSI_BUCKETS) for i in range(1, PSI_BUCKETS)]
+    thr = discrete_thresholds_sql(
+        "(SELECT value FROM tagged WHERE is_ref)", "value", qs
+    )
+    split = discrete_thresholds_sql(
+        "events", "epoch_us(ts)", [(1, 2)], "split_us"
     )
     ex = " + ".join(
         f"CASE WHEN value > t{i} THEN 1 ELSE 0 END"
@@ -106,14 +105,13 @@ def _psi_sql() -> str:
     )
     return f"""
 WITH split AS (
-  SELECT ROUND(quantile_cont(epoch_us(ts), 0.5), 6) AS split_us
-  FROM events
+  SELECT split_us0 AS split_us FROM {split}
 ),
 tagged AS (
   SELECT value, epoch_us(ts) <= split_us AS is_ref
   FROM events CROSS JOIN split
 ),
-thr AS (SELECT {thr} FROM tagged WHERE is_ref),
+thr AS (SELECT * FROM {thr}),
 bucketed AS (
   SELECT 1 + ({ex}) AS bucket, is_ref
   FROM tagged CROSS JOIN thr
@@ -230,13 +228,9 @@ MI_BUCKETS = 4
 def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MI between event type and value quartile (nats)."""
     ev = load_table(spark, sf_dir, "events")
-    qs = [i / MI_BUCKETS for i in range(1, MI_BUCKETS)]
-    thr = ev.agg(
-        *[
-            F.round(F.percentile("value", F.lit(q)), 6).alias(f"t{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
+    qs = [(i, MI_BUCKETS) for i in range(1, MI_BUCKETS)]
+    # discrete quartile thresholds (r7: no interpolated percentiles)
+    thr = discrete_quantiles(ev, F.col("value"), qs)
     bucket = 1 + sum(
         (F.col("value") > F.col(f"t{i}")).cast("int")
         for i in range(len(qs))
@@ -265,17 +259,14 @@ def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mi_sql() -> str:
-    qs = [i / MI_BUCKETS for i in range(1, MI_BUCKETS)]
-    thr = ", ".join(
-        f"ROUND(quantile_cont(value, {q}), 6) AS t{i}"
-        for i, q in enumerate(qs)
-    )
+    qs = [(i, MI_BUCKETS) for i in range(1, MI_BUCKETS)]
+    thr = discrete_thresholds_sql("events", "value", qs)
     ex = " + ".join(
         f"CASE WHEN value > t{i} THEN 1 ELSE 0 END"
         for i in range(len(qs))
     )
     return f"""
-WITH thr AS (SELECT {thr} FROM events),
+WITH thr AS (SELECT * FROM {thr}),
 cont AS (
   SELECT event_type, 1 + ({ex}) AS vq, COUNT(*) AS nxy
   FROM events CROSS JOIN thr

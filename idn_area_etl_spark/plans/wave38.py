@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.text import tokens_expr
-from idn_area_etl_spark.plans.registry import QuerySpec
+from idn_area_etl_spark.operators.ranks import discrete_quantiles
+from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
 from idn_area_etl_spark.plans.wave32 import _score_expr, _score_sql
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -161,13 +162,13 @@ def a_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score_expr(F.col("embedding")).alias("score"),
         (F.col("label") % 2 == 1).cast("long").alias("y"),
     )
-    qs = [i / (STUMP_CANDIDATES + 1) for i in range(1, STUMP_CANDIDATES + 1)]
-    thr = scored.agg(
-        *[
-            F.round(F.percentile("score", F.lit(q)), 6).alias(f"t{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
+    qs = [
+        (i, STUMP_CANDIDATES + 1) for i in range(1, STUMP_CANDIDATES + 1)
+    ]
+    # discrete decile candidates (stored scores at rank ceil(q*n)) —
+    # these are EMITTED as the threshold column, so interpolation
+    # would be the r6 a_quantile_sketch red-row class (r7)
+    thr = discrete_quantiles(scored, F.col("score"), qs)
     base = scored.crossJoin(F.broadcast(thr))
     aggs = []
     for i in range(len(qs)):
@@ -222,11 +223,10 @@ def a_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stump_sql() -> str:
-    qs = [i / (STUMP_CANDIDATES + 1) for i in range(1, STUMP_CANDIDATES + 1)]
-    thr = ", ".join(
-        f"ROUND(quantile_cont(score, {q}), 6) AS t{i}"
-        for i, q in enumerate(qs)
-    )
+    qs = [
+        (i, STUMP_CANDIDATES + 1) for i in range(1, STUMP_CANDIDATES + 1)
+    ]
+    thr = discrete_thresholds_sql("scored", "score", qs)
     wide_cols = ", ".join(
         f"""ANY_VALUE(t{i}) AS thr{i},
   SUM(CASE WHEN score <= t{i} THEN 1 ELSE 0 END) AS nl{i},
@@ -259,7 +259,7 @@ WITH scored AS (
     CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
   FROM embeddings
 ),
-thr AS (SELECT {thr} FROM scored),
+thr AS (SELECT * FROM {thr}),
 base AS (SELECT * FROM scored CROSS JOIN thr),
 wide AS (SELECT {wide_cols} FROM base),
 stats AS ({blocks}),

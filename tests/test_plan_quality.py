@@ -94,9 +94,11 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # totals frame of a FIXED-domain key (3 flags, 25 nations, 5
     # segments/langs, 10 buckets, fixed label set)
     "a_quantile_sketch",         # 3 l_returnflag rank targets
+    "q_percentiles",             # 5 o_orderpriority offsets
     "q_gini_acctbal",            # 25 c_nationkey offsets
     "q_rank_normalize",          # 5 c_mktsegment offsets
     "q_weighted_median_price",   # 3 l_returnflag offsets
+    "q_winsorized_means",        # per-event_type offsets (fixed taxonomy)
     "s_budget_greedy",           # per-lang offsets (fixed taxonomy)
     "s_mixture_rebalance",       # 5-lang offsets
     "s_stratified_kfold",        # per-label offsets (fixed k)
@@ -612,9 +614,11 @@ def test_rfm_thresholds_broadcast_no_sort(spark, specs):
     ntile sort of the customer base."""
     plan = plan_of(specs["q_rfm_segments"].builder(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # scalar broadcasts only: ref date + threshold row (the plan
-    # string may render a broadcast twice via exchange reuse)
-    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    # scalar broadcasts only: ref date + the three 1-row discrete
+    # quantile-threshold frames (r7; each a global agg over the
+    # running-count rollup — the plan string may render a broadcast
+    # more than once via exchange reuse)
+    assert plan.count("BroadcastNestedLoopJoin") <= 8
 
 
 def test_equidepth_no_global_sort_of_facts(spark, specs):

@@ -423,3 +423,23 @@ def test_grouped_running_multi_matches_window(spark):
     got_rows = sorted(tuple(r[c] for c in cols) for r in got.select(*cols).collect())
     exp_rows = sorted(tuple(r[c] for c in cols) for r in exp.select(*cols).collect())
     assert got_rows == exp_rows
+
+
+def test_discrete_quantiles_match_sorted_index(spark):
+    """discrete_quantiles returns the stored element at rank ⌈q·n⌉ —
+    verified against direct sorted-list indexing, including duplicate
+    values and a q that lands exactly on an integer rank."""
+    from idn_area_etl_spark.operators.ranks import discrete_quantiles
+
+    df = (
+        spark.range(1000)
+        .repartition(8)
+        .select((F.xxhash64("id") % 97).cast("double").alias("v"))
+    )
+    qs = [(1, 4), (1, 2), (3, 4), (99, 100)]
+    row = discrete_quantiles(df, F.col("v"), qs).collect()[0]
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    for i, (num, den) in enumerate(qs):
+        rank = -(-num * n // den)  # ceil
+        assert row[f"t{i}"] == vals[rank - 1], (num, den)

@@ -125,6 +125,7 @@ BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     # -- grouped_running_multi per-group offsets frames (r7): one row
     #    per value of a FIXED-domain group key --
     "q_gini_acctbal": "offsets: one row per c_nationkey (25)",
+    "q_percentiles": "offsets: one row per o_orderpriority (5)",
     "q_rank_normalize": "offsets: one row per c_mktsegment (5)",
     "q_weighted_median_price": "offsets: one row per l_returnflag (3)",
     "s_budget_greedy": "offsets: one row per lang (fixed taxonomy)",
