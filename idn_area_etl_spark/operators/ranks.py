@@ -450,7 +450,32 @@ def grouped_running_multi(
     the plain window (bounded per-group rows; scalable group count).
     Result equality needs ``group_cols + order_cols`` to be a total
     order (the registry-wide unique-tiebreaker rule).
+
+    NULL group keys: the offsets frame joins back on ``group_cols``
+    with an EQUI join, so rows whose group key is NULL are DROPPED
+    (a plain ``partitionBy`` window would keep them as their own
+    group).  Callers must pre-filter or coalesce NULL keys — raising
+    here would cost a pass over the data, and every fixed-domain
+    taxonomy this primitive exists for is non-null by construction.
     """
+    reserved = (
+        [f"{run_prefix}{k}" for k in values]
+        + [f"{total_prefix}{k}" for k in values]
+        + [f"_gcum_{k}" for k in values]
+        + [f"_gprior_{k}" for k in values]
+        + [f"_gt_{k}" for k in values]
+        + [f"tot_{k}" for k in values]
+    )
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        # loud failure over silent clobber (mirrors grouped_topk):
+        # pre-existing grun_/gtot_/tot_/_gcum_ columns would be
+        # overwritten or dropped by the internal bookkeeping
+        raise ValueError(
+            f"grouped_running_multi internal/output columns {clash} "
+            "already exist on the input frame; rename them or pass "
+            "different run_prefix/total_prefix"
+        )
     gcols = [F.col(c) for c in group_cols]
     g = global_running_multi(
         df, gcols + list(order_cols), values, run_prefix="_gcum_"

@@ -443,3 +443,57 @@ def test_discrete_quantiles_match_sorted_index(spark):
     for i, (num, den) in enumerate(qs):
         rank = -(-num * n // den)  # ceil
         assert row[f"t{i}"] == vals[rank - 1], (num, den)
+
+
+def test_grouped_topk_collision_guard(spark):
+    """Pre-existing _salt/_lrk/out columns raise loudly instead of
+    being silently clobbered (r7 ADVICE)."""
+    import pytest
+
+    base = spark.range(10).select(
+        (F.col("id") % 2).alias("g"), "id", F.lit(0).alias("v")
+    )
+    for bad in ("_salt", "_lrk", "rnk"):
+        df = base.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match=bad):
+            grouped_topk(df, ["g"], [F.col("v"), F.col("id")], 2,
+                         salt_key=F.col("id"))
+
+
+def test_grouped_running_multi_collision_guard(spark):
+    """Pre-existing grun_/gtot_/tot_/_gcum_/_gprior_/_gt_ columns on
+    the input raise loudly instead of being silently clobbered or
+    dropped (r8, mirroring grouped_topk's guard; ADVICE r7)."""
+    import pytest
+
+    from idn_area_etl_spark.operators.ranks import grouped_running_multi
+
+    base = spark.range(10).select(
+        (F.col("id") % 2).alias("g"), "id", F.lit(1).alias("v")
+    )
+    for bad in ("grun_v", "gtot_v", "tot_v", "_gcum_v", "_gprior_v",
+                "_gt_v"):
+        df = base.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match=bad):
+            grouped_running_multi(
+                df, ["g"], [F.col("id")], {"v": F.col("v")}
+            )
+
+
+def test_grouped_running_multi_null_group_contract(spark):
+    """The documented NULL-group-key contract: rows with a NULL group
+    key are dropped by the equi-join (callers pre-filter/coalesce);
+    non-null groups are unaffected by the null rows' presence."""
+    from idn_area_etl_spark.operators.ranks import grouped_running_multi
+
+    df = spark.range(10).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("g"),
+        "id",
+        F.lit(1).alias("v"),
+    )
+    got = grouped_running_multi(df, ["g"], [F.col("id")], {"v": F.col("v")})
+    rows = got.collect()
+    assert all(r["g"] is not None for r in rows)
+    assert len(rows) == df.filter(F.col("g").isNotNull()).count()
