@@ -91,6 +91,97 @@ def d_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ #
+# d_bpe_merges_planted
+# ------------------------------------------------------------------ #
+
+#: Planted 5-word corpus: residues of doc_id % 32 → a two-letter word,
+#: bucket sizes 17/8/4/2/1 so word frequencies are STRICTLY ordered
+#: (f1 > f2 > ... > f5 for every n ≥ 64; doc_id is contiguous 0..n-1
+#: at all SFs, and the margin (size_i - size_{i+1})·⌊n/32⌋ > size_{i+1}
+#: holds from ⌊n/32⌋ ≥ 2).
+_BPE_PLANT_WORDS = ("ab", "cd", "ef", "gh", "ij")
+
+
+def _bpe_plant_word() -> F.Column:
+    r = F.col("doc_id") % 32
+    return (
+        F.when((r < 16) | (r == 31), F.lit("ab"))
+        .when(r < 24, F.lit("cd"))
+        .when(r < 28, F.lit("ef"))
+        .when(r < 30, F.lit("gh"))
+        .otherwise(F.lit("ij"))
+    )
+
+
+def d_bpe_merges_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted BPE merge-sequence fixed point: run the REAL
+    ``operators/bpe.train_bpe`` loop (same vocabulary collapse, same
+    pair-count aggregation, same top-1 tie-break, same codegen merge
+    fold as ``d_bpe_merges``) on a corpus whose merge sequence is
+    FORCED by construction, so the twin-less rows-only spec's exact
+    plan gets a cross-engine SQL oracle (r8; the planted fixed-point
+    pattern's fifth application after isotonic/eigvec).
+
+    Construction: each document is ONE of five two-letter words over
+    disjoint letters, with strictly ordered frequencies
+    f(ab) > f(cd) > f(ef) > f(gh) > f(ij) planted via doc_id % 32
+    bucket sizes 17/8/4/2/1.  Within word k = (x, y, </w>) both pairs
+    (x,y) and (y,</w>) carry count f_k, and the operator tie-breaks
+    equal counts by (left, right) lexicographically with x < y <
+    every later word's letters ("</w>" sorts before letters but can
+    only appear as a RIGHT symbol), so the 10-round sequence is
+    exactly: merge (x_k, y_k) then (x_k y_k, </w>) for k = 1..5 in
+    frequency order, each round's winning pair_count being the exact
+    integer f_k — zero floating point anywhere, every emitted cell
+    bit-identical in both engines.  If the frequency plant ever broke
+    strict ordering the sequence would diverge and the hash gate
+    would catch it; strictness is proven above for n ≥ 64 and the
+    smallest SF has n = 500.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(_bpe_plant_word().alias("text"))
+    # no cache: each invocation retrains so layout-invariance runs
+    # exercise the full loop (the d_bpe_merges cache would hide them)
+    merges = train_bpe(planted, n_merges=BPE_N_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["round"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "round int, left string, right string, merged string, pair_count long",
+    ).orderBy("round")
+
+
+D_BPE_PLANTED_SQL = """
+WITH f AS (
+  SELECT
+    CAST(SUM(CASE WHEN doc_id % 32 < 16 OR doc_id % 32 = 31
+             THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(SUM(CASE WHEN doc_id % 32 BETWEEN 16 AND 23
+             THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+    CAST(SUM(CASE WHEN doc_id % 32 BETWEEN 24 AND 27
+             THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+    CAST(SUM(CASE WHEN doc_id % 32 IN (28, 29)
+             THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+    CAST(SUM(CASE WHEN doc_id % 32 = 30
+             THEN 1 ELSE 0 END) AS BIGINT) AS f5
+  FROM documents
+)
+SELECT r.round, r."left", r."right", r."left" || r."right" AS merged,
+  CASE r.word WHEN 1 THEN f.f1 WHEN 2 THEN f.f2 WHEN 3 THEN f.f3
+       WHEN 4 THEN f.f4 ELSE f.f5 END AS pair_count
+FROM (VALUES
+  (1, 'a', 'b', 1), (2, 'ab', '</w>', 1),
+  (3, 'c', 'd', 2), (4, 'cd', '</w>', 2),
+  (5, 'e', 'f', 3), (6, 'ef', '</w>', 3),
+  (7, 'g', 'h', 4), (8, 'gh', '</w>', 4),
+  (9, 'i', 'j', 5), (10, 'ij', '</w>', 5)
+) AS r(round, "left", "right", word), f
+ORDER BY r.round
+"""
+
+
+# ------------------------------------------------------------------ #
 # q_skew_report
 # ------------------------------------------------------------------ #
 
@@ -314,6 +405,14 @@ SPECS = [
         None,
         doc="per-language BPE token counts + compression",
         tags=("text", "tokenizer"),
+    ),
+    QuerySpec(
+        "d_bpe_merges_planted",
+        d_bpe_merges_planted,
+        D_BPE_PLANTED_SQL,
+        doc="planted forced merge sequence: exact oracle for the real "
+        "BPE training loop (fifth planted fixed point)",
+        tags=("text", "tokenizer", "planted"),
     ),
     QuerySpec(
         "q_skew_report",

@@ -102,3 +102,31 @@ def test_bpe_queries_registered():
     assert "d_bpe_merges" in specs
     assert specs["d_bpe_merges"].oracle is None
     assert "d_bpe_encode_stats" in specs
+
+
+def test_planted_merge_sequence_is_forced(spark):
+    """d_bpe_merges_planted's oracle claims an exact 10-round merge
+    sequence; verify the REAL trainer AND the pure-Python reference
+    both produce it on the planted corpus, and that the planted
+    frequencies are strictly ordered (the forcing condition)."""
+    n = 500
+    docs = spark.range(n).select(F.col("id").alias("doc_id")).select(
+        wave31._bpe_plant_word().alias("text")
+    )
+    merges = train_bpe(docs, n_merges=10)
+    texts = [r["text"] for r in docs.collect()]
+    assert merges == reference_bpe(texts, n_merges=10)
+    # frequency plant: strictly decreasing for any n >= 64
+    from collections import Counter
+
+    f = Counter(texts)
+    freqs = [f[w] for w in wave31._BPE_PLANT_WORDS]
+    assert all(a > b for a, b in zip(freqs, freqs[1:]))
+    # the forced sequence: (x,y) then (xy,</w>) per word, freq order
+    expect = []
+    for k, w in enumerate(wave31._BPE_PLANT_WORDS):
+        expect.append((w[0], w[1], w, freqs[k]))
+        expect.append((w, EOW, w + EOW, freqs[k]))
+    got = [(m["left"], m["right"], m["merged"], m["pair_count"])
+           for m in merges]
+    assert got == expect
