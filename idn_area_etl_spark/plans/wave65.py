@@ -16,6 +16,11 @@ extensions.
   60 embeddings; each greedy step is one distributed marginal-gain
   pass (operators/facility.py).  Exact greedy pinned against a
   pure-Python reference in tests/test_facility.py.
+- **Planted facility location** (`s_facility_planted`, exact oracle;
+  r8, the planted fixed-point pattern's sixth application) — the
+  REAL greedy operator on one-hot vectors, where every cosine
+  similarity is EXACTLY 1.0 or 0.0 and strictly ordered group sizes
+  force the selection sequence; see the builder docstring.
 """
 
 from __future__ import annotations
@@ -168,6 +173,102 @@ def s_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facility_location_select(spark, emb, k=5)
 
 
+# ------------------------------------------------------------------ #
+# s_facility_planted
+# ------------------------------------------------------------------ #
+
+#: planted group boundaries over vec_id < 60: sizes 20/15/10/8/7,
+#: strictly decreasing so greedy group order is forced.
+_FAC_BOUNDS = (20, 35, 45, 53, 60)
+
+
+def _fac_group() -> F.Column:
+    g = F.lit(len(_FAC_BOUNDS) - 1)
+    for i, b in reversed(list(enumerate(_FAC_BOUNDS))):
+        g = F.when(F.col("vec_id") < b, F.lit(i)).otherwise(g)
+    return g
+
+
+def s_facility_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted facility-location fixed point: run the REAL greedy
+    operator (same all-pairs cosine table, same decimal marginal-gain
+    aggregation, same argmax tie-break as ``s_facility_location``) on
+    vectors where the greedy sequence is FORCED, giving the rows-only
+    spec's exact plan a cross-engine SQL oracle.
+
+    Construction: the first 60 embeddings become ONE-HOT vectors on
+    their group's axis (groups of strictly decreasing sizes
+    20/15/10/8/7 via vec_id ranges), with an md5-derived POSITIVE
+    magnitude so the norm/dot machinery does real arithmetic.
+
+    Exactness argument (every step IEEE-verifiable, no tolerance):
+
+    - same-axis cosine: dot = fl(a·b) (63 zero terms + one product,
+      summed left-to-right) and ‖u‖·‖v‖ = fl(a·b) too, because
+      ``fl(sqrt(fl(a*a))) == a`` in round-to-nearest (the
+      e_eigvec_planted identity; magnitudes ∈ [1, 1025), no over/
+      underflow) — so sim = x/x = EXACTLY 1.0;
+    - cross-axis cosine: every product term carries a 0.0 factor →
+      dot = 0.0 → sim = EXACTLY 0.0;
+    - hence every greedy gain/coverage/objective is a sum of exact
+      1.0/0.0 through decimal(38,18) — exact INTEGERS in double, and
+      ``round(obj, 6)`` is the identity;
+    - greedy forcing: an uncovered group's members all carry gain =
+      group size, covered groups carry gain 0; sizes are strictly
+      decreasing, so step k selects the k-th largest group at its
+      smallest vec_id (the argmax (gain desc, j asc) tie-break), and
+      the objective after step k is the exact cumulative member
+      count.  The oracle recomputes sizes from the same vec_id
+      ranges — zero floating point crosses engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 60
+    )
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("fac:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 20)
+    )
+    mag = k / F.lit(1024.0) + F.lit(1.0)
+    grp = _fac_group()
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(d == grp, mag).otherwise(F.lit(0.0)),
+    )
+    planted = emb.select("vec_id", vec.alias("embedding"))
+    return facility_location_select(spark, planted, k=5)
+
+
+S_FACILITY_PLANTED_SQL = """
+WITH g AS (
+  SELECT vec_id,
+    CASE WHEN vec_id < 20 THEN 0 WHEN vec_id < 35 THEN 1
+         WHEN vec_id < 45 THEN 2 WHEN vec_id < 53 THEN 3
+         ELSE 4 END AS grp
+  FROM embeddings WHERE vec_id < 60
+),
+sz AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(vec_id) AS first_id
+  FROM g GROUP BY grp
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY n DESC, first_id) AS INT) AS step,
+  first_id AS selected_id,
+  CAST(SUM(n) OVER (ORDER BY n DESC, first_id) AS DOUBLE) AS objective
+FROM sz ORDER BY step
+"""
+
+
 SPECS = [
     QuerySpec(
         "q_rec_mrr_hitrate",
@@ -182,5 +283,13 @@ SPECS = [
         None,  # greedy argmax chain not SQL-expressible
         doc="greedy facility-location subset selection (k=5)",
         tags=("dataset-prep", "sampling", "embedding"),
+    ),
+    QuerySpec(
+        "s_facility_planted",
+        s_facility_planted,
+        S_FACILITY_PLANTED_SQL,
+        doc="planted forced greedy sequence: exact oracle for the "
+        "real facility-location operator (sixth planted fixed point)",
+        tags=("dataset-prep", "sampling", "embedding", "planted"),
     ),
 ]

@@ -71,3 +71,20 @@ def test_facility_objective_monotone_diminishing(spark, sf_dir):
     # objective deltas may legitimately grow between steps; the
     # python-reference equality test above is the correctness pin.
     assert len({r["selected_id"] for r in rows}) == 5
+
+
+def test_facility_planted_sequence_is_forced(spark, sf_dir):
+    """s_facility_planted's oracle claims an exact greedy sequence:
+    the REAL operator on one-hot group vectors must pick groups in
+    strictly-decreasing-size order at their smallest vec_id, with
+    exact integer objectives (cosines are exactly 1.0/0.0)."""
+    from idn_area_etl_spark.plans.wave65 import s_facility_planted
+
+    rows = s_facility_planted(spark, sf_dir).orderBy("step").collect()
+    bounds = (0, 20, 35, 45, 53, 60)
+    sizes = [bounds[i + 1] - bounds[i] for i in range(5)]
+    assert [r["selected_id"] for r in rows] == list(bounds[:5])
+    cum = 0
+    for r, s in zip(rows, sizes):
+        cum += s
+        assert r["objective"] == float(cum)  # exact integer double
