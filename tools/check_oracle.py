@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 import sys
-from datetime import datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal, InvalidOperation
 
 import duckdb
@@ -32,9 +32,28 @@ def norm_cell(v) -> str:
     local gate cannot see (exactly how the r6 ``a_quantile_sketch``
     failure slipped through: ``Decimal`` used to collapse to
     ``repr(float(v))``, lossier than the driver's decimal hash).
-    Decimals now compare EXACTLY (scale-normalized, full precision);
-    a decimal column never equals a float column, so specs must emit
-    the same type on both engines."""
+
+    Normalization contract, one row per channel (r8; the ONLY value
+    pairs this function equates are the ones a deterministic engine
+    pair cannot legitimately disagree on):
+
+    | channel            | canonical form          | equates ONLY       |
+    |--------------------|-------------------------|--------------------|
+    | NULL               | ``<null>``              | None with None     |
+    | bool               | ``0`` / ``1``           | bool with int 0/1 (SQL has one boolean) |
+    | float              | ``repr`` (shortest round-trip) | bit-identical doubles; NaN → ``nan`` (NaN ≠ NULL) |
+    | Decimal            | ``dec:`` + scale-normalized plain text | equal decimals across scales (12.50 = 12.5); never a float/str; NaN → ``dec:nan`` |
+    | naive datetime     | ISO-8601, no offset     | equal wall-clock naive timestamps |
+    | aware datetime     | UTC-converted ISO-8601 with ``+00:00`` | the same INSTANT at different offsets; never a naive timestamp |
+    | date (no time)     | ``date:`` + ISO         | equal dates; never a datetime or str |
+    | bytes              | ``bytes:`` + hex        | equal byte strings; never a str of hex digits |
+    | list/tuple         | ``[`` e1 ``,`` e2 ``]`` with ``\\``/``,``/``[``-escaped elements | element-wise equal sequences; nested NaN/decimal/bytes rules apply recursively; a list never equals its comma-joined string |
+    | str / int / other  | ``str(v)``              | equal text / integers |
+
+    Dropping the pre-r8 NaN→NULL collapse is deliberate: the sweep
+    proves no oracle-backed spec emits NaN anywhere, so if one ever
+    does on ONE engine only, the replica now fails it just like the
+    driver would."""
     if v is None:
         return "<null>"
     if isinstance(v, bool):
@@ -42,11 +61,11 @@ def norm_cell(v) -> str:
         return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "<null>"
+            return "nan"
         return repr(v)
     if isinstance(v, Decimal):
         if v.is_nan():
-            return "<null>"
+            return "dec:nan"
         # exact, scale-normalized (12.50 == 12.5), plain notation so
         # 5E+2 and 500 agree; tagged so Decimal never equals float
         try:
@@ -54,11 +73,24 @@ def norm_cell(v) -> str:
         except InvalidOperation:
             return "dec:" + str(v)
     if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            # canonicalize the offset representation of an instant;
+            # the +00:00 suffix keeps aware ≠ naive
+            return v.astimezone(timezone.utc).isoformat()
         return v.isoformat()
+    if isinstance(v, date):
+        return "date:" + v.isoformat()
     if isinstance(v, bytes):
-        return v.hex()
+        return "bytes:" + v.hex()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        esc = (
+            norm_cell(x)
+            .replace("\\", "\\\\")
+            .replace(",", "\\,")
+            .replace("[", "\\[")
+            for x in v
+        )
+        return "[" + ",".join(esc) + "]"
     return str(v)
 
 

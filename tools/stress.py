@@ -223,6 +223,32 @@ def synth_flag_rows(spark, n: int) -> DataFrame:
     )
 
 
+def synth_unique_vals(spark, n: int) -> DataFrame:
+    """N rows whose double value domain is NEAR-UNIQUE (~0.95·n
+    distinct values after hash collisions) — the worst-case regime
+    for discrete_quantiles/global_running_multi, where the
+    distinct-value rollup is itself data-scaled and the range
+    shuffle carries ~n rows (r8, VERDICT r7 item 3)."""
+    return spark.range(n).select(
+        "id",
+        (
+            F.pmod(F.xxhash64("id"), F.lit(10) * F.lit(n)) / F.lit(1000.0)
+        ).alias("v"),
+    )
+
+
+def _discrete_quantiles(rows: DataFrame) -> DataFrame:
+    """ranks.discrete_quantiles end-to-end in the near-unique regime:
+    distinct-value rollup -> global_running_multi range-shuffled
+    running counts -> min-per-target aggregate (the r7 primitive that
+    replaced every cross-engine interpolated percentile)."""
+    from idn_area_etl_spark.operators.ranks import discrete_quantiles
+
+    return discrete_quantiles(
+        rows, F.col("v"), [(1, 4), (1, 2), (3, 4), (99, 100)]
+    )
+
+
 def _grouped_running(rows: DataFrame) -> DataFrame:
     """ranks.grouped_running_multi end-to-end on the weighted-median
     shape: per-(flag, price) rollup -> per-flag running weights ->
@@ -377,6 +403,9 @@ def main() -> None:
         # r7: the per-group running-sum primitive that replaced the
         # fixed-domain window funnels (weighted-median shape)
         "grouped_running": lambda rows, _: _grouped_running(rows),
+        # r8: the discrete-quantile primitive in its worst case — a
+        # near-unique value domain where the rollup is data-scaled
+        "discrete_quantiles": lambda rows, _: _discrete_quantiles(rows),
         "nn_matching": lambda uev, _: _nn_matching(uev),
         "knn_eval": lambda d, e: _knn_eval(e),
         # NOT measured: near_dup_pairs / ngram_jaccard_pairs — blocked
@@ -396,6 +425,7 @@ def main() -> None:
             "connected_components": (edges, None),
             "win_ratio": (synth_user_events(spark, n), None),
             "grouped_running": (synth_flag_rows(spark, n), None),
+            "discrete_quantiles": (synth_unique_vals(spark, n), None),
             "nn_matching": (synth_user_events(spark, n), None),
         }
         for name, build in ops.items():
