@@ -48,3 +48,18 @@ def test_norm_cell_strictness_channels():
     assert nc(Decimal("5E+2")) == nc(Decimal("500"))
     assert nc(True) == nc(1) and nc(False) == nc(0)
     assert nc(["a", "b"]) == nc(("a", "b"))
+
+
+def test_invariance_reuses_check_oracle_norm_cell():
+    """tools/invariance.py must hash with the SAME normalization as
+    the oracle compare — a private lossier copy is the channel that
+    let pre-r8 decimal drift hash equal across configs."""
+    spec = importlib.util.spec_from_file_location(
+        "invariance", "tools/invariance.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    nc = mod.norm_cell
+    assert nc(Decimal("12.50")) == "dec:12.5"
+    assert nc(b"12") != nc("3132")
+    assert nc(float("nan")) != nc(None)

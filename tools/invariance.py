@@ -27,15 +27,29 @@ Usage:
 from __future__ import annotations
 
 import hashlib
-import math
+import importlib.util
+import pathlib
 import sys
-from datetime import datetime
-from decimal import Decimal
 
 sys.path.insert(0, ".")
 
 from idn_area_etl_spark.plans import all_specs  # noqa: E402
 from idn_area_etl_spark.session import get_spark  # noqa: E402
+
+
+def _load_norm_cell():
+    """Single source of truth: reuse check_oracle's norm_cell so the
+    invariance hash is exactly as strict as the oracle compare (a
+    private lossier copy here let pre-r8 layout drift in decimal low
+    digits or NaN cells hash equal)."""
+    path = pathlib.Path(__file__).with_name("check_oracle.py")
+    spec = importlib.util.spec_from_file_location("_check_oracle", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.norm_cell
+
+
+norm_cell = _load_norm_cell()
 
 CONFIGS: list[tuple[str, dict]] = [
     ("default", {}),
@@ -53,24 +67,6 @@ CONFIGS: list[tuple[str, dict]] = [
         {"extra_conf": {"spark.sql.autoBroadcastJoinThreshold": "-1"}},
     ),
 ]
-
-
-def norm_cell(v) -> str:
-    if v is None:
-        return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "<null>"
-        return repr(v)
-    if isinstance(v, Decimal):
-        return repr(float(v))
-    if isinstance(v, datetime):
-        return v.isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
 
 
 def result_hash(df) -> tuple[int, str]:
