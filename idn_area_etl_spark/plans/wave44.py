@@ -108,13 +108,36 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dsir_rollup(docs: DataFrame, target_lang: str = "en") -> DataFrame:
     """The DSIR scoring pipeline over any (doc_id, lang, text) frame —
     split out so tools/stress.py can tier the SAME end-to-end shape
-    (vocabulary shuffle join included) on synthetic 100k/1M corpora."""
-    occ = docs.select(
-        "doc_id", "lang", F.explode(_ws_tokens(F.col("text"))).alias("w")
+    (vocabulary shuffle join included) on synthetic 100k/1M corpora.
+
+    r8 shape (VERDICT r7 item 4): occurrences pre-aggregate to the
+    per-doc token-count rollup ``tok = (doc_id, lang, w, cnt)``
+    BEFORE anything shuffles on the token key.  A document's exploded
+    tokens stay in its input partition, so the rollup's map-side
+    partial aggregation dedups within-doc repeats locally and every
+    downstream token-keyed exchange (the vocabulary count AND the
+    ratio join) carries distinct doc-token pairs instead of raw
+    occurrences — on repetition-heavy web text that is the corpus'
+    repetition factor shaved off BOTH heavy shuffles.  The per-doc
+    score is unchanged bit-for-bit: summing cnt copies of the same
+    decimal equals multiplying it by cnt (decimal arithmetic is
+    exact; the oracle applies the identical rewrite)."""
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(_ws_tokens(F.col("text"))).alias("w"),
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("cnt"))
     )
-    vocab = occ.groupBy("w").agg(
-        F.count("*").alias("rc"),
-        F.sum((F.col("lang") == target_lang).cast("long")).alias("tc"),
+    vocab = tok.groupBy("w").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tc"),
     )
     totals = vocab.agg(
         F.sum("rc").alias("R"),
@@ -133,14 +156,24 @@ def dsir_rollup(docs: DataFrame, target_lang: str = "en") -> DataFrame:
     # NO broadcast hint on ratio: it has one row per distinct raw token;
     # on a web-scale corpus the whitespace-token vocabulary is billions
     # of rows (the typo/URL tail grows ~linearly, Heaps' law does not
-    # bound it).  occ is already exploded-token scale, so a plain
+    # bound it).  tok is already distinct-doc-token scale, so a plain
     # shuffle join on "w" touches the same order of data either way —
     # and AQE still broadcasts when ratio is genuinely small.
     scores = (
-        occ.join(ratio, "w")
+        tok.join(ratio, "w")
         .groupBy("doc_id", "lang")
         .agg(
-            F.sum(F.col("lr").cast("decimal(27,12)")).alias("score")
+            # product cast back to decimal(27,12): the value is exact
+            # (quantized lr × integer cnt, |product| < 10^15) and the
+            # SUM aggregate keeps the ORIGINAL per-occurrence sum's
+            # decimal type, so the downstream mean division is
+            # bit-identical to the pre-r8 plan
+            F.sum(
+                (
+                    F.col("lr").cast("decimal(27,12)")
+                    * F.col("cnt").cast("decimal(10,0)")
+                ).cast("decimal(27,12)")
+            ).alias("score")
         )
     )
     return (
@@ -157,16 +190,18 @@ def dsir_rollup(docs: DataFrame, target_lang: str = "en") -> DataFrame:
 
 
 D_DSIR_SQL = r"""
-WITH occ AS (
-  SELECT doc_id, lang, unnest(
-    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                x -> x <> '')) AS w
-  FROM documents
+WITH tok AS (
+  SELECT doc_id, lang, w, COUNT(*) AS cnt FROM (
+    SELECT doc_id, lang, unnest(
+      list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY doc_id, lang, w
 ),
 vocab AS (
-  SELECT w, COUNT(*) AS rc,
-    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
-  FROM occ GROUP BY w
+  SELECT w, SUM(cnt) AS rc,
+    SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tc
+  FROM tok GROUP BY w
 ),
 totals AS (
   SELECT SUM(rc) AS R, SUM(tc) AS T, COUNT(*) AS V FROM vocab
@@ -178,10 +213,11 @@ ratio AS (
   FROM vocab CROSS JOIN totals
 ),
 scores AS (
-  SELECT occ.doc_id, occ.lang,
-    SUM(CAST(lr AS DECIMAL(27,12))) AS score
-  FROM occ JOIN ratio USING (w)
-  GROUP BY occ.doc_id, occ.lang
+  SELECT tok.doc_id, tok.lang,
+    SUM(CAST(CAST(lr AS DECIMAL(27,12)) * cnt AS DECIMAL(27,12)))
+      AS score
+  FROM tok JOIN ratio USING (w)
+  GROUP BY tok.doc_id, tok.lang
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
   ROUND(CAST(SUM(score) / COUNT(*) AS DOUBLE), 6) AS mean_score,
