@@ -213,59 +213,57 @@ def all_specs() -> dict[str, QuerySpec]:
         # fixed this round (array<double> -> scalar p25/p50/p75)
         "q_percentiles",
     ]
-    # Round-7 rotation, weighted toward what THIS round changed (the
-    # r4-r6 precedent): a_quantile_sketch re-pinned so the driver
-    # certifies the discrete-median fix of r6's one red row; the
-    # window-funnel fixes the new per-group-window gate produced
-    # (grouped_running_multi / grouped_topk / min_by rewrites) — seven
-    # never driver-checked plus the three previously-seen w_*/top-k
-    # specs re-submitted under their NEW distributed shapes; the
-    # planted eigenvector fixed point (verdict item 4); and the
-    # verdict-named never-checked machinery: the rest of the w_*
-    # window family, the z-order layout key, the remaining s_*
-    # sampling/selection rows, and waves-70+ analytics (survival,
-    # concentration, forensic, econometric).  w_trailing_mode,
-    # s_frequency_cap and q_vintage_analysis additionally certify
-    # BOUNDED_WINDOWS whitelist claims end-to-end.  All 29 verified
-    # green against the local oracle harness at sf0.001/0.01/0.1 and
-    # 4-config invariant at sf0.01 AND sf0.1 before pinning; 25 of 29
-    # never appeared in any r01-r06 window.
+    # Round-8 rotation (VERDICT r7 item 1): 29 slots — this round's
+    # two new planted fixed-point oracles (BPE merge sequence,
+    # facility-location greedy; verdict items 2 and 5) plus the
+    # rows-only d_bpe_merges whose exact plan the planted twin now
+    # certifies, then 26 never-driver-checked specs from the families
+    # the verdict named: the a_* statistics block (ANOVA, BH-FDR,
+    # permutation test, Poisson bootstrap, CUPED, SRM,
+    # diff-in-diff, empirical-Bayes shrinkage, Horvitz-Thompson,
+    # fixed-effect meta-analysis), the q_* finance/time-series block
+    # (Holt forecast, CUSUM changepoint, survival curve, multi-touch
+    # attribution, EWMA, max drawdown, ACF, rolling correlation), and
+    # the d_* corpus-statistics block (Zipf slope, JS divergence,
+    # lang-ID confusion, inverted-index stats, burstiness, dataset
+    # card, source evenness, positional profile).  All oracle-backed
+    # candidates verified green at sf0.001/0.01/0.1 under the exact
+    # compare AND 4-config invariant at sf0.01 and sf0.1 before
+    # pinning; 29 of 29 never appeared in any r01-r07 window.
     rotation = [
-        "a_quantile_sketch",
-        # round-7 window-funnel fixes, never driver-checked
-        "q_weighted_median_price",
-        "q_gini_acctbal",
-        "q_rank_normalize",
-        "s_budget_greedy",
-        "s_group_sample_fixed",
-        "s_mixture_rebalance",
-        "s_stratified_kfold",
-        # round-7 window-funnel fixes, re-certified under the new shape
-        "w_ntile_customers",
-        "w_rank_distribution",
-        "q_top_customers_per_nation",
-        # the planted eigenvector oracle (verdict item 4)
-        "e_eigvec_planted",
-        # never-checked w_* window family + layout
-        "w_first_last_event",
-        "w_price_range_frame",
-        "w_trailing_mode",
-        "q_zorder_events",
-        # never-checked s_* sampling/selection
-        "s_frequency_cap",
-        "s_curriculum_interleave",
-        "s_kcenter_coreset",
-        "s_importance_resample",
-        "s_temperature_mixture",
-        "s_oversample_minority",
-        "s_dp_noisy_counts",
-        # never-checked waves-70+ analytics
-        "a_logrank_test",
-        "a_hhi_concentration",
-        "a_benford_second",
-        "q_vintage_analysis",
-        "a_oaxaca_decomposition",
-        "a_hill_tail_index",
+        # round-8 planted fixed points (verdict items 2 and 5)
+        "d_bpe_merges_planted",
+        "s_facility_planted",
+        "d_bpe_merges",  # rows-only; its exact plan certified by the twin
+        # never-checked a_* statistics
+        "a_anova_oneway",
+        "a_bh_fdr",
+        "a_permutation_test",
+        "a_poisson_bootstrap_ci",
+        "a_cuped_adjustment",
+        "a_srm_check",
+        "a_diff_in_diff",
+        "a_eb_shrinkage",
+        "a_horvitz_thompson",
+        "a_fixed_effect_meta",
+        # never-checked q_* finance / time-series
+        "q_holt_forecast",
+        "q_cusum_changepoint",
+        "q_survival_curve",
+        "q_multitouch_attribution",
+        "q_ewma_user_value",
+        "q_max_drawdown",
+        "q_acf_revenue",
+        "q_rolling_corr_daily",
+        # never-checked d_* corpus statistics
+        "d_zipf_slope",
+        "d_js_divergence_langs",
+        "d_langid_confusion",
+        "d_inverted_index_stats",
+        "d_event_burstiness",
+        "d_dataset_card",
+        "d_source_evenness",
+        "d_positional_profile",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]
