@@ -107,6 +107,41 @@ def test_prefix_join_equals_brute_force(spark, sf_dir):
     assert len(got) > 0  # planted near-dups exist at sf0.001
 
 
+def test_doc_token_counts_equals_groupby_rollup(spark, sf_dir):
+    """The row-local run-length token counter must emit exactly the
+    rows of the shuffle-based explode → groupBy → count rollup —
+    including repeated tokens, mixed whitespace, and empty texts."""
+    crafted = spark.createDataFrame(
+        [
+            (1, "en", "a b a  c b a"),
+            (2, "id", "   "),
+            (3, "en", "x"),
+            (4, "xx", "z z z z"),
+            (5, "en", "b a\tb  a\nb"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    real = load_table(spark, sf_dir, "documents")
+    for docs in (crafted, real):
+        got = wave44.doc_token_counts(docs)
+        want = (
+            docs.select(
+                "doc_id",
+                "lang",
+                F.explode(wave44._ws_tokens(F.col("text"))).alias("w"),
+            )
+            .groupBy("doc_id", "lang", "w")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        # dtypes, not schema: the run-length cnt is nullable where
+        # count(*) is not; every downstream aggregate is nullable
+        # either way, so the spec's final schema is unchanged
+        assert got.dtypes == want.dtypes
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 def test_dsir_target_language_scores_highest(spark, sf_dir):
     rows = {r["lang"]: r for r in wave44.d_dsir_weights(spark, sf_dir).collect()}
     en = rows["en"]["mean_score"]
