@@ -31,12 +31,19 @@ def test_window_contains_all_brief_critical_specs():
     assert BRIEF_CRITICAL <= window
 
 
-def test_window_is_fully_oracle_backed():
+def test_window_is_nearly_fully_oracle_backed():
+    """Window slots are scarce hard evidence, so rows-only specs are
+    capped at 2 per window — but NOT banned: a rows-only spec can only
+    ever earn driver evidence (the weaker rows+schema check) through a
+    window slot, and tools/rotation.py schedules a few per round so
+    the non-SQL-expressible tail is not permanently uncheckable.
+    r8 spends one slot on d_bpe_merges, whose exact plan the planted
+    twin d_bpe_merges_planted certifies in the same window."""
     specs = all_specs()
-    missing = [n for n in list(specs)[:50] if specs[n].oracle is None]
-    assert missing == [], (
-        "window slots are scarce hard evidence — rows-only specs "
-        f"waste them: {missing}"
+    rows_only = [n for n in list(specs)[:50] if specs[n].oracle is None]
+    assert len(rows_only) <= 2, (
+        "too many rows-only specs spending scarce window slots: "
+        f"{rows_only}"
     )
 
 
