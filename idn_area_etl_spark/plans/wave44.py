@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.dedup import (
+    _stage,
     prefix_jaccard_join,
     token_shingles_expr,
 )
@@ -126,15 +127,32 @@ def dsir_rollup(docs: DataFrame, target_lang: str = "en") -> DataFrame:
     cheaper than either predecessor in both regimes.  The per-doc
     score is unchanged bit-for-bit: summing cnt copies of the same
     decimal equals multiplying it by cnt (decimal arithmetic is
-    exact; the oracle applies the identical rewrite)."""
-    tok = doc_token_counts(docs)
-    vocab = tok.groupBy("w").agg(
-        F.sum("cnt").alias("rc"),
-        F.sum(
-            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(
-                F.lit(0)
-            )
-        ).alias("tc"),
+    exact; the oracle applies the identical rewrite).
+
+    r8-opt: ``tok`` and ``vocab`` are staged (lazy local checkpoint,
+    the repo's established stage-separation pattern).  Without it the
+    physical plan holds THREE copies of the scan → token-RLE subtree
+    (the scores join probe, the vocab agg feeding ratio, and the
+    vocab agg feeding totals) and TWO copies of the vocab aggregate —
+    Catalyst's ReuseExchange cannot share them because column pruning
+    makes the subtrees non-identical.  Staged, the corpus is scanned
+    and run-length-encoded ONCE and the vocabulary aggregated ONCE;
+    at 100 TB that deletes two full corpus scans + tokenizations and
+    one token-scale shuffle.  Values are unchanged: staging only
+    materializes an intermediate, and both heavy exchanges stay
+    AQE-skew-splittable (tok is deliberately NOT pre-partitioned by
+    ``w`` — co-partitioned join inputs would pin a hot-token
+    partition to one task with no exchange left for AQE to split)."""
+    tok = _stage(doc_token_counts(docs))
+    vocab = _stage(
+        tok.groupBy("w").agg(
+            F.sum("cnt").alias("rc"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("tc"),
+        )
     )
     totals = vocab.agg(
         F.sum("rc").alias("R"),

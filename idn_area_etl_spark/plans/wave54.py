@@ -25,10 +25,12 @@ wave6's d_dedup_clusters).
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.dedup import prefix_jaccard_join
+from idn_area_etl_spark.operators.dedup import _stage, prefix_jaccard_join
 from idn_area_etl_spark.operators.graph import connected_components
 from idn_area_etl_spark.operators.ranks import global_row_number
 from idn_area_etl_spark.plans.registry import QuerySpec
@@ -61,39 +63,56 @@ def keep_best_rollup(docs: DataFrame) -> DataFrame:
         "lang",
         F.coalesce(F.length("text"), F.lit(0)).alias("chars"),
     )
-    clustered = meta.join(
-        comp.select(F.col("node").alias("doc_id"), "component"),
-        "doc_id",
-        "left",
-    ).select(
-        "doc_id",
-        "lang",
-        "chars",
-        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+    # r8-opt: pack the keeper ordering (chars DESC, doc_id ASC) into
+    # ONE exact decimal key so keeper election is a single primitive-
+    # buffer HashAggregate max — the pre-r8 shape needed two
+    # aggregates plus an extra doc-scale equi-join on (cluster, chars)
+    # (a struct-min would still be wrong: non-primitive agg buffers
+    # plan as SortAggregate, which sorts the doc-scale clustered table
+    # on both sides of the shuffle — see SCALE.md "SortAggregate
+    # hazard").  pref = chars·10¹⁹ + (10¹⁹−1−doc_id) is exact in
+    # decimal(31,0): chars is an INT (Spark length() ≤ 2³¹, 10
+    # digits) and 0 ≤ doc_id < 10¹⁹ covers the full non-negative long
+    # range (doc ids are non-negative in every caller — parquet docs
+    # and spark.range stress corpora; same contract as
+    # grouped_running_multi's non-null keys).  pref is strictly
+    # monotone in (chars, −doc_id), so max(pref) elects exactly the
+    # pre-r8 keeper, and pref == max(pref) marks exactly one row per
+    # cluster (doc_id is unique).
+    pref = (
+        F.col("chars").cast("decimal(10,0)")
+        * F.lit(Decimal(10**19))
+    ) + (
+        F.lit(Decimal(10**19 - 1))
+        - F.col("doc_id").cast("decimal(19,0)")
     )
-    # keep-best = argmax chars (ties → min doc_id) per cluster, as two
-    # primitive-buffer HashAggregates + an equi-join instead of a
-    # struct-min: non-primitive agg buffers plan as SortAggregate,
-    # which sorts the doc-scale clustered table on both sides of the
-    # shuffle (see SCALE.md "SortAggregate hazard")
-    best_chars = clustered.groupBy("cluster").agg(
-        F.max("chars").alias("chars")
+    # r8-opt: staged (lazy local checkpoint) — clustered feeds both
+    # the keeper aggregate and the retention rollup; unstaged, the
+    # plan re-runs the docs scan + component join per consumer (the
+    # pre-r8 plan held THREE copies: 3 scans + 6 doc_id exchanges).
+    clustered = _stage(
+        meta.join(
+            comp.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        ).select(
+            "lang",
+            "chars",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            pref.alias("pref"),
+        )
     )
-    keeper = (
-        clustered.join(best_chars, ["cluster", "chars"])
-        .groupBy("cluster")
-        .agg(F.min("doc_id").alias("keep_id"))
-    )
+    keeper = clustered.groupBy("cluster").agg(F.max("pref").alias("best"))
     # NO broadcast hint on keeper: it has one row per cluster, and since
     # cluster = coalesce(component, doc_id) every non-duplicate document
     # is its own cluster — keeper is doc-cardinality.  At 100 TB a forced
     # broadcast would OOM every executor; "cluster" is already the
-    # shuffle key of the aggregates above, so the un-hinted join reuses
+    # shuffle key of the aggregate above, so the un-hinted join reuses
     # that partitioning (AQE still broadcasts when genuinely small).
     tagged = clustered.join(keeper, "cluster").select(
         "lang",
         "chars",
-        (F.col("doc_id") == F.col("keep_id")).cast("long").alias("kept"),
+        (F.col("pref") == F.col("best")).cast("long").alias("kept"),
     )
     return (
         tagged.groupBy("lang")
