@@ -122,6 +122,72 @@ def cosine_topk(
     ).orderBy("query_id", "rnk")
 
 
+def probe_label_nn(
+    emb: DataFrame,
+    probe_limit: int = 200,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """1-NN label prediction for a literal-bounded probe set against
+    the full streaming corpus: (qid, truth, pred), one row per probe.
+
+    Winner per probe = highest 6-dp cosine, ties -> lexically
+    smallest label: ci = round(cos * 1e6) is injective on 6-dp
+    cosines, so min-ordering by (-ci, label) is exactly
+    (cosine DESC, label ASC).
+
+    Scale shape (r8): the per-probe argmax runs as TWO aggregates
+    instead of one ``min_by(pred, struct(-ci, pred))`` over the
+    joined stream.  A struct ordering key is a non-primitive agg
+    buffer, which plans as SortAggregate — sorting the
+    (corpus x probes) stream inside every map task before combining
+    (the SCALE.md "SortAggregate hazard").  Grouping first by
+    (qid, truth, pred) with a primitive ``max(ci)`` buffer keeps the
+    partial aggregation a map-side-combinable HashAggregate, so the
+    exchange carries at most probes x |label domain| finished rows;
+    the struct-keyed ``min_by`` then runs over that bounded rollup
+    only.  max-then-argmax elects the identical winner: the min of
+    (-ci, pred) over all rows equals the min over per-pred minima,
+    and the per-pred minimum is (-max(ci), pred).
+    """
+    v = emb.select(
+        "vec_id",
+        F.col(label_col).alias("label"),
+        as_double_vec(F.col(vec_col)).alias("vec"),
+    ).withColumn("nrm", norm_expr(F.col("vec")))
+    q = v.filter(F.col("vec_id") < probe_limit).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("truth"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("pred"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        6,
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
+        "qid",
+        "truth",
+        "pred",
+        F.round(cos * 1e6).cast("long").alias("ci"),
+    )
+    cand = scored.groupBy("qid", "truth", "pred").agg(
+        F.max("ci").alias("ci")
+    )
+    return cand.groupBy("qid", "truth").agg(
+        F.min_by(
+            "pred",
+            F.struct((-F.col("ci")).alias("a"), F.col("pred").alias("b")),
+        ).alias("pred")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     top_k: int = 20,

@@ -216,17 +216,12 @@ def g_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared endpoint.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= TRIANGLE_MIN_SHARED)
-        .select("p1", "p2")
-    )
+    from idn_area_etl_spark.operators.graph import co_purchase_edges
+
+    # r8-opt: the edge build is the staged shared co-purchase
+    # subtree (see co_purchase_edges) — previously re-expanded per
+    # downstream consumer
+    edges = co_purchase_edges(li, min_co=TRIANGLE_MIN_SHARED)
     e1 = edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
     e2 = edges.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
     e3 = edges.select(F.col("p1").alias("a"), F.col("p2").alias("c"))

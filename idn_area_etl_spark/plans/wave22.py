@@ -245,7 +245,15 @@ def e_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate embedding pairs found only within canopy
     clusters: blocked self-join on cluster id, cosine > threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = seeded_semantic_clusters(emb)
+    # r8-opt: stage the canopy assignment — it feeds both sides of
+    # the blocked self-join, and unstaged the whole seed-scoring
+    # subtree (corpus scan → seed broadcast NLJ → per-vector argmax
+    # aggregate with its corpus-scale shuffle) runs TWICE, once per
+    # join side (4 parquet scans / 2 NLJs in the captured plan).
+    # Staged, the corpus is scored against the seeds once.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    assigned = _stage(seeded_semantic_clusters(emb))
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("vec_a"),

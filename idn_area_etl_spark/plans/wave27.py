@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.text import tokens_expr
 from idn_area_etl_spark.operators.ranks import discrete_quantiles
 from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
@@ -61,7 +62,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile segmentation over the customer base."""
     o = load_table(spark, sf_dir, "orders")
     ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
-    per_cust = (
+    # r8-opt: per_cust is staged — it feeds the three quantile
+    # computations AND the scoring pass; unstaged, each consumer
+    # re-ran the orders scan + per-customer rollup (4 scans in the
+    # captured plan).
+    per_cust = _stage(
         o.crossJoin(F.broadcast(ref))
         .groupBy("o_custkey")
         .agg(

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.text import tokens_expr
 from idn_area_etl_spark.operators.ranks import discrete_quantiles
 from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
@@ -50,18 +51,24 @@ def d_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(tokens_expr(F.col("text"))).alias("w")
     )
+    # r8-opt: ONE staged corpus-scale rollup.  The captured plan ran
+    # the scan+explode subtree 5x (vocab, counts, langs, both pair
+    # sides); grouping occurrences by (lang, w) once and deriving the
+    # top vocabulary from the rollup (sum over langs == the global
+    # count) leaves a single corpus pass.  Values are unchanged:
+    # counts = rollup semi-joined to vocab, and the (cnt DESC, w)
+    # top-k tie-break operates on identical totals.
+    full = _stage(
+        toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    )
     vocab = (
-        toks.groupBy("w")
-        .agg(F.count("*").alias("cnt"))
+        full.groupBy("w")
+        .agg(F.sum("c").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "w")
         .limit(JS_VOCAB_TOP)
         .select("w")
     )
-    counts = (
-        toks.join(F.broadcast(vocab), "w")
-        .groupBy("lang", "w")
-        .agg(F.count("*").alias("c"))
-    )
+    counts = full.join(F.broadcast(vocab), "w").select("lang", "w", "c")
     langs = counts.select("lang").distinct()
     # dense grid lang × vocab with smoothing
     grid = (

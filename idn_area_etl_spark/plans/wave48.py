@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.ranks import global_ntile
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -194,9 +195,14 @@ def d_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", toks.alias("ws"))
     # doc -> decile by doc_id order
     # per-doc deciles are unbounded at scale: distributed ntile
-    ranked = global_ntile(
-        base, [F.col("doc_id").asc()], 10, out="decile"
-    ).select("doc_id", "ws", "decile")
+    # r8-opt: staged + projected early (doc_id is unused downstream)
+    # — ranked feeds both the token totals and the first-seen rollup;
+    # unstaged, each consumer re-ran the scan + split + global ntile.
+    ranked = _stage(
+        global_ntile(
+            base, [F.col("doc_id").asc()], 10, out="decile"
+        ).select("decile", "ws")
+    )
     # tokens per decile (then cumulative)
     tokens_per_dec = ranked.groupBy("decile").agg(
         F.sum(F.size("ws").cast("long")).alias("toks")

@@ -32,6 +32,7 @@ from math import factorial
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -66,13 +67,19 @@ def a_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv"
         ),
     )
-    masks = per_user.groupBy("mask").agg(
-        F.count("*").alias("n"), F.sum("conv").alias("k")
+    # r8-opt: masks (<=16 rows) and vs (16 rows) are staged — the
+    # per-channel Shapley aggregates below re-ran the events scan +
+    # per-user rollup once per channel (4 scans / 16 exchanges in the
+    # captured plan); staged, the corpus is rolled up once.
+    masks = _stage(
+        per_user.groupBy("mask").agg(
+            F.count("*").alias("n"), F.sum("conv").alias("k")
+        )
     )
     # literal subset lattice: one row per coalition S
     lattice = spark.range(16).select(F.col("id").cast("int").alias("s"))
     # v(S): conversion rate of users whose mask is contained in S
-    vs = (
+    vs = _stage(
         lattice.join(
             F.broadcast(masks),
             F.bitwise_not(F.col("s")).bitwiseAND(F.col("mask")) == 0,

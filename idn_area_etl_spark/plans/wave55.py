@@ -230,21 +230,12 @@ def g_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle support per co-purchase edge (co-occurrence >= 3
     orders); distribution of support values."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("co"))
-        .filter(F.col("co") >= 3)
-        .select("p1", "p2")
-    )
+    from idn_area_etl_spark.operators.graph import co_purchase_edges
+
+    # r8-opt: the edge build is the staged shared co-purchase
+    # subtree (see co_purchase_edges) — previously re-expanded per
+    # downstream consumer
+    edges = co_purchase_edges(li, min_co=3)
     adj = edges.unionByName(
         edges.select(
             F.col("p2").alias("p1"), F.col("p1").alias("p2")

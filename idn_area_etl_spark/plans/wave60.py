@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.dedup import prefix_jaccard_join
+from idn_area_etl_spark.operators.dedup import _stage, prefix_jaccard_join
 from idn_area_etl_spark.operators.graph import connected_components
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -54,17 +54,29 @@ def d_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("ck"),
     )
     # tier 1: exact — keep min doc_id per raw-text hash
-    s1 = keyed.withColumn(
-        "keep1",
-        F.col("doc_id")
-        == F.min("doc_id").over(Window.partitionBy("ek")),
-    ).filter("keep1")
+    # r8-opt: each tier is staged — s1 feeds s2 and the per-lang
+    # tier-1 rollup, s2 feeds the near-dup edges, s3, and the tier-2
+    # rollup; unstaged, the upstream tiers re-ran per consumer
+    # (4 scans / 17 exchanges in the captured plan).
+    s1 = _stage(
+        keyed.withColumn(
+            "keep1",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("ek")),
+        )
+        .filter("keep1")
+        .drop("keep1")
+    )
     # tier 2: canonical over tier-1 survivors
-    s2 = s1.withColumn(
-        "keep2",
-        F.col("doc_id")
-        == F.min("doc_id").over(Window.partitionBy("ck")),
-    ).filter("keep2")
+    s2 = _stage(
+        s1.withColumn(
+            "keep2",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("ck")),
+        )
+        .filter("keep2")
+        .drop("keep2")
+    )
     # tier 3: near-dup clusters over tier-2 survivors
     edges = prefix_jaccard_join(
         s2.select("doc_id", "text"), n=5, tau_num=4, tau_den=5
@@ -181,7 +193,12 @@ def a_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog coverage and exposure concentration of the wave-47
     co-purchase top-5 recommendations."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # r8-opt: op is staged (it feeds npart, both co-occurrence sides,
+    # and the catalog count — 4 scan+distinct pipelines in the
+    # captured plan); exposure is staged (feeds top10 and the final
+    # rollup); the catalog count is a lazy 1-row crossJoin instead of
+    # an eager driver .count() at plan-build time.
+    op = _stage(li.select("l_orderkey", "l_partkey").distinct())
     npart = op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
     a = op.filter(F.col("l_partkey") < 50).select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
@@ -215,8 +232,8 @@ def a_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("p2")
     )
-    exposure = recs.groupBy("p2").agg(F.count("*").alias("hits"))
-    catalog = op.select("l_partkey").distinct().count()
+    exposure = _stage(recs.groupBy("p2").agg(F.count("*").alias("hits")))
+    cat = op.agg(F.countDistinct("l_partkey").alias("catalog_size"))
     # only top-10 membership matters — TakeOrdered (scalable per-
     # partition top-k + merge) instead of a global row_number window
     top10 = (
@@ -230,11 +247,13 @@ def a_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hits").alias("all_hits"),
         )
         .crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(cat))
         .select(
             "n_recommended_parts",
-            F.lit(catalog).cast("long").alias("catalog_size"),
+            F.col("catalog_size").cast("long").alias("catalog_size"),
             F.round(
-                F.col("n_recommended_parts").cast("double") / F.lit(catalog),
+                F.col("n_recommended_parts").cast("double")
+                / F.col("catalog_size").cast("double"),
                 6,
             ).alias("coverage"),
             F.round(

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.facility import facility_location_select
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -42,7 +43,10 @@ def q_rec_mrr_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train co-occurrence recs on even-key orders, evaluate MRR and
     hit-rate@5 against odd-key test co-purchases (focus p1 < 50)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # r8-opt: op is staged (feeds the train/test sides x a/b — four
+    # scan+distinct pipelines in the captured plan); recs and truth
+    # are staged (each feeds two consumers of the evaluation join).
+    op = _stage(li.select("l_orderkey", "l_partkey").distinct())
     train = op.filter(F.col("l_orderkey") % 2 == 0)
     test = op.filter(F.col("l_orderkey") % 2 == 1)
     ta = train.filter(F.col("l_partkey") < 50).select(
@@ -51,7 +55,7 @@ def q_rec_mrr_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = train.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
     )
-    recs = (
+    recs = _stage(
         ta.join(tb, "ok")
         .filter(F.col("p1") != F.col("p2"))
         .groupBy("p1", "p2")
@@ -72,7 +76,7 @@ def q_rec_mrr_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = test.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
     )
-    truth = (
+    truth = _stage(
         ea.join(eb, "ok")
         .filter(F.col("p1") != F.col("p2"))
         .select("p1", "p2")

@@ -24,11 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.similarity import (
-    as_double_vec,
-    dot_expr,
-    norm_expr,
-)
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -143,46 +138,21 @@ def e_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric is evaluated on a literal-bounded probe sample against
     the full streaming corpus (the ``e_cosine_topk`` pattern): linear
     in corpus size, probe side broadcast by construction.  The 1-NN
-    winner per probe comes from one map-side-combinable ``min_by``
-    aggregation over an integer-encoded (-cos, label) ordering key —
-    no per-probe window funneling the corpus through one task.
+    winner per probe comes from the shared two-stage hash-aggregate
+    argmax of ``probe_label_nn`` (r8: the previous corpus-scale
+    ``min_by(clbl, struct(-ci, clbl))`` planned as SortAggregate —
+    struct agg buffers are non-primitive — sorting the
+    corpus x probes stream inside every map task; see the operator
+    docstring for the max-then-argmax equivalence argument) — no
+    per-probe window funneling the corpus through one task.
     """
+    from idn_area_etl_spark.operators.similarity import probe_label_nn
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", norm_expr(F.col("vec")))
-    q = v.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlbl"),
-        F.col("vec").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = v.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("clbl"),
-        F.col("vec").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    cos = F.round(
-        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-        6,
-    )
-    # integer encoding of the rounded cosine: 6-dp values are >= 1e-6
-    # apart, so ci is injective on them and (-ci, clbl) min-orders
-    # exactly like (cos DESC, clbl ASC)
-    scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .select(
-            "qid",
-            "qlbl",
-            "clbl",
-            F.round(cos * 1e6).cast("long").alias("ci"),
-        )
-    )
-    nn = scored.groupBy("qid", "qlbl").agg(
-        F.min_by(
-            "clbl", F.struct((-F.col("ci")).alias("a"), F.col("clbl").alias("b"))
-        ).alias("clbl")
+    nn = probe_label_nn(emb).select(
+        "qid",
+        F.col("truth").alias("qlbl"),
+        F.col("pred").alias("clbl"),
     )
     return (
         nn.groupBy("qlbl")

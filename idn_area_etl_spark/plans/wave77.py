@@ -37,21 +37,12 @@ from idn_area_etl_spark.sources.tables import load_table
 def g_ego_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood density per focus part (p < 100, co >= 2)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("co"))
-        .filter(F.col("co") >= 2)
-        .select("p1", "p2")
-    )
+    from idn_area_etl_spark.operators.graph import co_purchase_edges
+
+    # r8-opt: the edge build is the staged shared co-purchase
+    # subtree (see co_purchase_edges) — previously re-expanded per
+    # downstream consumer
+    edges = co_purchase_edges(li, min_co=2)
     adj = edges.unionByName(
         edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )
@@ -139,44 +130,31 @@ def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one ``min_by`` aggregation over an integer-encoded
     (-cos, pred) key — linear in corpus, no per-probe window (see
     ``e_knn_loo_accuracy``)."""
-    from idn_area_etl_spark.operators.similarity import (
-        as_double_vec,
-        dot_expr,
-        norm_expr,
-    )
+    from idn_area_etl_spark.operators.similarity import probe_label_nn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", norm_expr(F.col("vec")))
-    q = v.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("truth"),
-        F.col("vec").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = v.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("pred"),
-        F.col("vec").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    cos = F.round(
-        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-        6,
-    )
-    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
-        "qid",
-        "truth",
-        "pred",
-        F.round(cos * 1e6).cast("long").alias("ci"),
-    )
-    nn = scored.groupBy("qid", "truth").agg(
-        F.min_by(
-            "pred",
-            F.struct((-F.col("ci")).alias("a"), F.col("pred").alias("b")),
-        ).alias("pred")
-    )
+    # r8-opt, twofold (plans/r08/a_cohens_kappa_*.txt):
+    # 1. the per-probe argmax is the shared two-stage hash-aggregate
+    #    shape of probe_label_nn — the previous corpus-scale
+    #    min_by(pred, struct(...)) planned as SortAggregate (struct
+    #    agg buffers are non-primitive), sorting the corpus x probes
+    #    stream inside every map task;
+    # 2. nn is staged (bounded: one row per probe, 200 rows).  The
+    #    confusion matrix below feeds FIVE consumers (counts, tot,
+    #    po, mt, mp); unstaged, Catalyst re-expands the corpus-scale
+    #    1-NN subtree per consumer — the captured plan held the
+    #    scan → probe NLJ → min_by aggregate FOUR times (10 parquet
+    #    scans, 8 BroadcastNestedLoopJoins).  Staged, the corpus is
+    #    streamed once and everything downstream runs on 200 local
+    #    rows.  The staged subtree's probe-side broadcast + NLJ stay
+    #    bounded by the literal vec_id < 200 filter — asserted on the
+    #    probe_label_nn subtree itself by
+    #    tests/test_plan_quality.py::test_probe_label_nn_subtree_shape
+    #    (the final plan no longer contains those nodes, so the
+    #    broadcast_audit whitelists dropped their entries).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    nn = _stage(probe_label_nn(emb))
     counts = nn.groupBy("truth", "pred").agg(F.count("*").alias("c"))
     tot = counts.agg(F.sum("c").alias("N"))
     po = (

@@ -138,44 +138,23 @@ def a_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample vs the streaming corpus, per-probe winner via ``min_by``
     over an integer-encoded (-cos, pred) key (see
     ``e_knn_loo_accuracy``)."""
-    from idn_area_etl_spark.operators.similarity import (
-        as_double_vec,
-        dot_expr,
-        norm_expr,
-    )
+    from idn_area_etl_spark.operators.similarity import probe_label_nn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", norm_expr(F.col("vec")))
-    q = v.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("truth"),
-        F.col("vec").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = v.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("pred"),
-        F.col("vec").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    cos = F.round(
-        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-        6,
-    )
-    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
-        "qid",
-        "truth",
-        "pred",
-        F.round(cos * 1e6).cast("long").alias("ci"),
-    )
-    nn = scored.groupBy("qid", "truth").agg(
-        F.min_by(
-            "pred",
-            F.struct((-F.col("ci")).alias("a"), F.col("pred").alias("b")),
-        ).alias("pred")
-    )
+    # r8-opt, twofold (plans/r08/a_macro_f1_*.txt): the per-probe
+    # argmax is the shared two-stage hash-aggregate shape of
+    # probe_label_nn (the corpus-scale min_by(pred, struct(...))
+    # planned as SortAggregate — see its docstring), and nn is staged
+    # (bounded: one row per probe, 200 rows) — it feeds both tp and
+    # predn, and unstaged the corpus-scale 1-NN subtree (scan →
+    # probe NLJ → aggregate) is duplicated per consumer (4 parquet
+    # scans / 2 NLJs in the captured plan).  The staged subtree's
+    # probe broadcast + NLJ stay bounded by the literal vec_id < 200
+    # filter — asserted on the probe_label_nn subtree by
+    # tests/test_plan_quality.py::test_probe_label_nn_subtree_shape.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    nn = _stage(probe_label_nn(emb))
     tp = nn.groupBy("truth").agg(
         F.sum((F.col("pred") == F.col("truth")).cast("long")).alias(
             "tp"

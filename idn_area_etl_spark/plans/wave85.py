@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.dedup import prefix_jaccard_join
+from idn_area_etl_spark.operators.dedup import _stage, prefix_jaccard_join
 from idn_area_etl_spark.operators.graph import connected_components
 from idn_area_etl_spark.operators.ranks import global_running_sum
 from idn_area_etl_spark.plans.registry import QuerySpec
@@ -187,8 +187,15 @@ def s_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs crossing the naive doc-hash split vs the
     cluster-keyed split (the latter must be zero)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = prefix_jaccard_join(docs, n=5, tau_num=4, tau_den=5).select(
-        "doc1", "doc2"
+    # r8-opt: pairs is staged — it feeds the component computation
+    # AND the final crossing-pair join; assigned below is staged — it
+    # feeds both join sides (a1/a2).  Unstaged, the prefix-join
+    # pipeline re-ran per consumer (7 sort-merge joins / 16 exchanges
+    # in the captured plan).
+    pairs = _stage(
+        prefix_jaccard_join(docs, n=5, tau_num=4, tau_den=5).select(
+            "doc1", "doc2"
+        )
     )
     comp = connected_components(pairs, "doc1", "doc2")
     labels = docs.select("doc_id").join(
@@ -217,10 +224,12 @@ def s_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.1
         )
 
-    assigned = labels.select(
-        "doc_id",
-        test_flag(F.col("doc_id")).alias("doc_test"),
-        test_flag(F.col("cluster")).alias("cluster_test"),
+    assigned = _stage(
+        labels.select(
+            "doc_id",
+            test_flag(F.col("doc_id")).alias("doc_test"),
+            test_flag(F.col("cluster")).alias("cluster_test"),
+        )
     )
     a1 = assigned.select(
         F.col("doc_id").alias("doc1"),

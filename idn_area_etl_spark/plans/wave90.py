@@ -205,19 +205,13 @@ def g_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes / edges / density of the co-purchase graph at
     co-occurrence floors 1..5 (one aggregation, bucketed)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
-    )
-    co = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("co"))
-    )
+    from idn_area_etl_spark.operators.graph import co_purchase_edges
+
+    # r8-opt: the edge build is the staged shared co-purchase
+    # subtree (see co_purchase_edges) — previously re-expanded per
+    # downstream consumer
+    # min_co=1 is vacuous (count(*) >= 1), keeping the rollup unfiltered
+    co = co_purchase_edges(li, min_co=1, keep_weight=True)
     floors = spark.createDataFrame(
         [(t,) for t in range(1, 6)], "floor int"
     )

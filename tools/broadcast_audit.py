@@ -84,7 +84,9 @@ BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     # -- fixed key domains: the broadcast side is an aggregate whose
     #    grouping key has a cardinality fixed by the schema/taxonomy,
     #    not by the data volume --
-    "a_shapley_attribution": "masks: <=16 rows (4-channel coalition bitmask)",
+    # a_shapley_attribution: dropped r8 — masks (<=16 rows, 4-channel
+    # coalition bitmask) is now staged, so the broadcast side reads a
+    # materialized RDD and classifies bounded mechanically
     "q_winsorized_means": "thr: one row per event_type (fixed taxonomy)",
     "q_impute_missing": "means: one row per event_type (fixed taxonomy)",
     "q_moment_stats": "modes: one row per c_mktsegment (5 segments)",
@@ -111,8 +113,11 @@ BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "e_mrl_prefix_topk": "query side: literal vec_id filter",
     "e_hard_negatives": "query side: literal vec_id filter",
     "e_knn_loo_accuracy": "query side: literal vec_id < 200 filter",
-    "a_cohens_kappa": "query side: literal vec_id < 200 filter",
-    "a_macro_f1": "query side: literal vec_id < 200 filter",
+    # a_cohens_kappa / a_macro_f1: dropped r8 — the probe-side
+    # broadcast moved inside the staged probe_label_nn subtree (no
+    # longer in the audited final plan); boundedness of that subtree
+    # is asserted directly by tests/test_plan_quality.py::
+    # test_probe_label_nn_subtree_shape
     "e_intrinsic_dimension": "query side + per-probe NN minimum: literal"
     " vec_id < 200 filter (200 rows each)",
     "e_ann_lsh": "query side: literal vec_id filter",
@@ -164,8 +169,9 @@ BOUNDED_NLJ: dict[str, str] = {
     "e_mrl_prefix_topk": "probe side: literal vec_id filter",
     "e_hard_negatives": "probe side: literal vec_id filter",
     "e_knn_loo_accuracy": "probe side: literal vec_id < 200 filter",
-    "a_cohens_kappa": "probe side: literal vec_id < 200 filter",
-    "a_macro_f1": "probe side: literal vec_id < 200 filter",
+    # a_cohens_kappa / a_macro_f1: dropped r8 — the probe NLJ moved
+    # inside the staged probe_label_nn subtree; see the
+    # BOUNDED_BY_CONSTRUCTION note above
     "e_intrinsic_dimension": "probe side + per-probe NN minimum:"
     " literal vec_id < 200 filter (200 rows each)",
     "e_triplet_violations": "anchor side: literal vec_id < 30 filter",
