@@ -75,12 +75,24 @@ def _stage(df: DataFrame) -> DataFrame:
         staged = df.localCheckpoint(
             eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
+    elif mode == "none":
+        # Audit facility: staging replaces a subtree with an opaque
+        # `Scan ExistingRDD`, which the plan-shape audits
+        # (tools/broadcast_audit.py and the test_plan_quality.py
+        # sweeps) cannot classify — a data-scaled frame behind the
+        # checkpoint would mechanically look "bounded".  Audits set
+        # this mode so every pass judges the FULL pre-staging
+        # dataflow; staging never changes values, only where the
+        # pipeline is cut, so the un-staged plan is the correct
+        # object to audit for 100 TB boundedness.
+        return df
     else:
         # a typo ('Persist', 'persistent') must not silently fall back
         # to the lineage-truncating mode the caller was opting OUT of
         raise ValueError(
             "spark.idnareaetl.stageMaterialization must be one of "
-            f"'localCheckpoint', 'persist', 'checkpoint'; got {mode!r}"
+            f"'localCheckpoint', 'persist', 'checkpoint', 'none'; "
+            f"got {mode!r}"
         )
     stack = _scope_stack()
     if stack:

@@ -84,9 +84,8 @@ BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     # -- fixed key domains: the broadcast side is an aggregate whose
     #    grouping key has a cardinality fixed by the schema/taxonomy,
     #    not by the data volume --
-    # a_shapley_attribution: dropped r8 — masks (<=16 rows, 4-channel
-    # coalition bitmask) is now staged, so the broadcast side reads a
-    # materialized RDD and classifies bounded mechanically
+    "a_shapley_attribution": "masks: <=16 rows (4-channel coalition"
+    " bitmask; staged at runtime — audited un-staged)",
     "q_winsorized_means": "thr: one row per event_type (fixed taxonomy)",
     "q_impute_missing": "means: one row per event_type (fixed taxonomy)",
     "q_moment_stats": "modes: one row per c_mktsegment (5 segments)",
@@ -113,11 +112,12 @@ BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "e_mrl_prefix_topk": "query side: literal vec_id filter",
     "e_hard_negatives": "query side: literal vec_id filter",
     "e_knn_loo_accuracy": "query side: literal vec_id < 200 filter",
-    # a_cohens_kappa / a_macro_f1: dropped r8 — the probe-side
-    # broadcast moved inside the staged probe_label_nn subtree (no
-    # longer in the audited final plan); boundedness of that subtree
-    # is asserted directly by tests/test_plan_quality.py::
-    # test_probe_label_nn_subtree_shape
+    "a_cohens_kappa": "query side: literal vec_id < 200 filter"
+    " (inside the staged probe_label_nn subtree at runtime —"
+    " audited un-staged; runtime shape pinned by"
+    " test_probe_label_nn_subtree_shape)",
+    "a_macro_f1": "query side: literal vec_id < 200 filter"
+    " (staged probe_label_nn subtree; see a_cohens_kappa)",
     "e_intrinsic_dimension": "query side + per-probe NN minimum: literal"
     " vec_id < 200 filter (200 rows each)",
     "e_ann_lsh": "query side: literal vec_id filter",
@@ -169,9 +169,10 @@ BOUNDED_NLJ: dict[str, str] = {
     "e_mrl_prefix_topk": "probe side: literal vec_id filter",
     "e_hard_negatives": "probe side: literal vec_id filter",
     "e_knn_loo_accuracy": "probe side: literal vec_id < 200 filter",
-    # a_cohens_kappa / a_macro_f1: dropped r8 — the probe NLJ moved
-    # inside the staged probe_label_nn subtree; see the
-    # BOUNDED_BY_CONSTRUCTION note above
+    "a_cohens_kappa": "probe side: literal vec_id < 200 filter"
+    " (staged probe_label_nn subtree at runtime — audited un-staged)",
+    "a_macro_f1": "probe side: literal vec_id < 200 filter"
+    " (staged probe_label_nn subtree at runtime — audited un-staged)",
     "e_intrinsic_dimension": "probe side + per-probe NN minimum:"
     " literal vec_id < 200 filter (200 rows each)",
     "e_triplet_violations": "anchor side: literal vec_id < 30 filter",
@@ -235,12 +236,38 @@ def scanned_big_tables(subtree: str) -> set[str]:
     return hits
 
 
+#: Reserved operators/ranks.py bookkeeping column.  Since r8 the
+#: audits run with staging disabled (see main()), which exposes the
+#: INTERNALS of the ranks.py range-partition primitives that staging
+#: used to truncate at an opaque `Scan ExistingRDD`.  Every broadcast
+#: / NLJ side / window input those primitives create is either the
+#: per-``_pid`` offset histogram (one row per shuffle partition — the
+#: partition count is cluster-sized, not data-sized) or a per-group
+#: rank/threshold rollup derived from it, and every per-``_pid``
+#: window is the partition-LOCAL running frame (each group is exactly
+#: one range partition — the shape the per-group-window gate tells
+#: spec authors to reformulate INTO).  ``_pid`` is produced only by
+#: ranks.py and collision-guarded against caller columns
+#: (test_ranks.py pins the guard), so its presence in a subtree is
+#: reliable provenance — the same convention the single-partition-
+#: window gate has used since r5 (test_plan_quality.py exempts
+#: windows referencing ``_pid#``).  Residual risk, documented: a spec
+#: that F.broadcast()s a ranks primitive's FULL data-scaled output
+#: (not its internal frames) would also carry ``_pid#`` references in
+#: intermediate plan nodes and be wrongly classified bounded; no spec
+#: does this today, and the primitives themselves never broadcast
+#: their outputs.
+_RANKS_PID = re.compile(r"_pid#\d+")
+
+
 def classify(subtree: str) -> tuple[str, set[str]]:
     """Return (verdict, big_tables).  verdict in {ok, unbounded}."""
     big = scanned_big_tables(subtree)
     if not big:
         return "ok", big
     if _GLOBAL_AGG.search(subtree) or _LIMIT.search(subtree):
+        return "ok", big
+    if _RANKS_PID.search(subtree):
         return "ok", big
     return "unbounded", big
 
@@ -415,6 +442,16 @@ BOUNDED_WINDOWS: dict[str, str] = {
     "q_rec_mrr_hitrate": _ENTITY_NOTE + " (co-purchase fan per part)",
     # -- entity-keyed per-document/content windows --
     "d_repetition_score": _ENTITY_NOTE + " (tokens per document)",
+    # prefix_jaccard_join's per-doc df-ordered prefix selection (the
+    # r8 staging-off audit exposed these previously-truncated
+    # operator internals; tokens per document is doc-length-bounded)
+    "j_jaccard_prefix_join": _ENTITY_NOTE + " (prefix tokens per document)",
+    "d_source_overlap": _ENTITY_NOTE + " (prefix tokens per document)",
+    "d_jaccard_threshold_curve": _ENTITY_NOTE
+    + " (prefix tokens per document)",
+    "s_cluster_aware_split": _ENTITY_NOTE + " (prefix tokens per document)",
+    "d_interarrival_burstiness": _ENTITY_NOTE + " (events per user)",
+    "q_churn_risk_flags": _ENTITY_NOTE + " (events per user)",
     "d_dedup_funnel": _ENTITY_NOTE + " (duplicate-cluster sizes; keys"
     " are content hashes, cluster count scales with the corpus)",
     "s_frequency_cap": _ENTITY_NOTE + " (rows per content key)",
@@ -542,6 +579,12 @@ def main() -> int:
     spark = get_spark()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    # Audit the FULL pre-staging dataflow: _stage() replaces a subtree
+    # with an opaque `Scan ExistingRDD` that classify() cannot see
+    # through (a data-scaled frame behind the checkpoint would look
+    # mechanically bounded), so all three passes run with staging off.
+    # Staging moves a materialization boundary, never the dataflow.
+    spark.conf.set("spark.idnareaetl.stageMaterialization", "none")
     flagged: dict[str, list[str]] = {}
     nlj_flagged: dict[str, list[str]] = {}
     win_flagged: dict[str, list[str]] = {}
