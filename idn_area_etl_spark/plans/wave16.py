@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.pq import pq_encode, pq_fit, pq_topk_reranked
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -78,8 +79,18 @@ def a_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from each unordered co-occurrence pair.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    # r8-opt: the distinct basket list feeds four consumers (basket
+    # count, item counts, both pair-join sides) — unstaged, Catalyst
+    # re-ran scan → distinct per consumer (6 lineitem scans / 28
+    # exchange refs in the captured plan); staged it runs once
+    # (guide §2.4).  The basket count is a LAZY 1-row crossJoin
+    # instead of an eager driver .count() at plan-build time (the
+    # a_rec_coverage pattern): the eager count ran a full scan
+    # OUTSIDE the timed action and re-ran on every builder() call.
+    baskets = _stage(li.select("l_orderkey", "l_partkey").distinct())
+    n_df = baskets.select(
+        F.countDistinct("l_orderkey").alias("_n_orders")
+    )
     item_counts = baskets.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count("*").alias("n_item")
     )
@@ -112,8 +123,12 @@ def a_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("part_b")
     )
     conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
-    lift = conf / (F.col("n_b").cast("double") / F.lit(float(n_orders)))
-    out = enriched.select(
+    # _n_orders is an exact long; cast("double") equals the previous
+    # F.lit(float(n_orders)) bit-for-bit
+    lift = conf / (
+        F.col("n_b").cast("double") / F.col("_n_orders").cast("double")
+    )
+    out = enriched.crossJoin(F.broadcast(n_df)).select(
         F.col("pa").alias("antecedent"),
         F.col("pb").alias("consequent"),
         "n_ab",

@@ -52,8 +52,19 @@ def d_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses round-9 → exact decimal sums (order-independent), rounded
     to 6dp on output.
     """
+    from idn_area_etl_spark.operators.dedup import _stage
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    # r8-opt: toks feeds the bigram explode AND the unigram counts;
+    # bigrams feeds the LM counts AND the scoring probe; c_w feeds
+    # the smoothing join AND the vocabulary size — unstaged, Catalyst
+    # re-ran the scan + tokenization per consumer (4 documents scans
+    # / 24 exchange refs in the captured plan).  Staged: one scan,
+    # one tokenization, one bigram explode, one unigram rollup
+    # (guide §2.4).
+    toks = _stage(
+        docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    )
     bigrams = toks.select(
         "doc_id",
         # guard: Spark's sequence(1, 0) DESCENDS instead of being
@@ -67,9 +78,10 @@ def d_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
+    bigrams = _stage(bigrams)
     c_bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
     unigrams = toks.select(F.explode("t").alias("w"))
-    c_w = unigrams.groupBy("w").agg(F.count("*").alias("c_w"))
+    c_w = _stage(unigrams.groupBy("w").agg(F.count("*").alias("c_w")))
     vocab = c_w.agg(F.count("*").alias("v"))
 
     scored = (

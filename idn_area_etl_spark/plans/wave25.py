@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.text import tokens_expr
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -94,7 +95,12 @@ PMI_TOP_K = 30
 def a_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top bigram collocations by pointwise mutual information."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(tokens_expr(F.col("text")).alias("t"))
+    # r8-opt: the tokenized corpus feeds three consumers (bigram
+    # explode, unigram counts, corpus totals) — unstaged, each re-ran
+    # the documents scan + regex tokenization (4 scans / 22 exchange
+    # refs in the captured plan); staged, the corpus is scanned and
+    # tokenized once (guide §2.4).
+    toks = _stage(docs.select(tokens_expr(F.col("text")).alias("t")))
     n_bg = F.greatest(F.lit(0), F.size("t") - F.lit(1))
     bigrams = toks.select(
         F.explode(

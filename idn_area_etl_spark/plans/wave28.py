@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.ranks import discrete_quantiles
 from idn_area_etl_spark.plans.registry import QuerySpec, discrete_thresholds_sql
 from idn_area_etl_spark.sources.tables import load_table
@@ -68,10 +69,18 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
+    # r8-opt: purchases feeds the attribution join AND the per-user
+    # purchase count; the joined touch list feeds the per-purchase
+    # touch count AND the credit split — unstaged, each consumer
+    # re-ran the events scan (5 scans / 14 exchange refs in the
+    # captured plan); staged, events is scanned twice (clicks inside
+    # the staged join, purchases once) (guide §2.4).
+    purchases = _stage(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
     )
     joined = purchases.join(clicks, "user_id").filter(
         (F.col("click_ts") <= F.col("purchase_ts"))
@@ -82,6 +91,7 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    joined = _stage(joined.select("purchase_id", "user_id", "click_id"))
     per_purchase = joined.groupBy("purchase_id").agg(
         F.count("*").alias("n_touches")
     )

@@ -53,19 +53,29 @@ BM25_TOP_K = 10
 
 def d_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranking of documents for a fixed term query."""
+    from idn_area_etl_spark.operators.dedup import _stage
+    from idn_area_etl_spark.plans.wave44 import doc_token_counts
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
-    )
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # r8-opt: doc length and term frequency both derive from the
+    # per-document token counts, which doc_token_counts computes
+    # ROW-LOCALLY (sort + run-length encode the token array — same
+    # tokenizer, no shuffle; equality with explode → groupBy → count
+    # is pinned by the wave44 tests, and the BM25 values stay pinned
+    # against the from-raw-text Python reference in
+    # test_plans_wave33).  Unstaged, doc_len / tf / corpus
+    # each re-ran the documents scan + tokenization (4 scans / 28
+    # exchange refs in the captured plan); staged, one scan and the
+    # rollup is distinct-(doc, term) scale instead of occurrence
+    # scale on BOTH downstream aggregates (guide §2.3, §2.4).
+    tok = _stage(doc_token_counts(docs).select("doc_id", "w", "cnt"))
+    doc_len = tok.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
     corpus = doc_len.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("dl").cast("decimal(20,0)")).alias("total_len"),
     )
-    tf = (
-        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    tf = tok.filter(F.col("w").isin(BM25_QUERY_TERMS)).select(
+        "doc_id", F.col("w").alias("term"), F.col("cnt").alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (

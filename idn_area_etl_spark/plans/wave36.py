@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -115,11 +116,17 @@ TRIPLE_TOP_K = 15
 def a_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apriori L3: frequent part triples by basket (order) support."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # r8-opt: the distinct basket list feeds FIVE consumers (both
+    # pair-join sides + three support-count join probes) and the
+    # frequent-pair rollup feeds two — unstaged, Catalyst re-ran the
+    # scan → distinct per consumer (7 lineitem scans / 32 exchange
+    # refs in the captured plan); staged, the corpus is scanned and
+    # deduplicated once (guide §2.4).
+    baskets = _stage(li.select("l_orderkey", "l_partkey").distinct())
     i1 = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
     i2 = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
     i3 = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("c"))
-    pairs = (
+    pairs = _stage(
         i1.join(i2, "ok")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")

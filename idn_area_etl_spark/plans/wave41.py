@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -42,8 +43,16 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose deseasonalized revenue deviates > 2σ."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
-        F.sum(rev.cast("decimal(24,6)")).alias("x_dec")
+    # r8-opt: the calendar-day rollup (one row per ship date) feeds
+    # the day-of-week index, the deseasonalized series, its moment
+    # stats and the final screen — unstaged, Catalyst re-ran the
+    # full lineitem scan + rollup per consumer (6 scans / 38
+    # exchange refs in the captured plan); staged it runs once
+    # (guide §2.4).
+    daily = _stage(
+        li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+            F.sum(rev.cast("decimal(24,6)")).alias("x_dec")
+        )
     )
     dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
         F.sum("x_dec").alias("dow_rev"), F.count("*").alias("n_days")

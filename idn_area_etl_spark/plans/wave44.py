@@ -384,9 +384,15 @@ def s_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha = 0.5) language sampling weights
     from whitespace token counts."""
     docs = load_table(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(
-        F.sum(F.size(_ws_tokens(F.col("text"))).cast("long")).alias(
-            "n_tokens"
+    # r8-opt: the 5-row per-lang rollup feeds the total, the shares
+    # and the weight sum — unstaged, each consumer re-ran the full
+    # documents scan + tokenization (4 scans / 30 exchange refs in
+    # the captured plan); staged, one scan (guide §2.4).
+    per_lang = _stage(
+        docs.groupBy("lang").agg(
+            F.sum(F.size(_ws_tokens(F.col("text"))).cast("long")).alias(
+                "n_tokens"
+            )
         )
     )
     tot = per_lang.agg(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -43,7 +44,13 @@ def d_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    base = docs.select("doc_id", "lang", toks.alias("t"))
+    # r8-opt: base feeds the bigram explode AND the unigram counts;
+    # bigrams feeds the LM counts AND the scoring probe; c_w feeds
+    # the smoothing join AND the vocabulary size — unstaged, each
+    # consumer re-ran the scan + tokenization (4 documents scans / 28
+    # exchange refs in the captured plan); staged, one of each
+    # (guide §2.4, same shape as d_perplexity_bigram).
+    base = _stage(docs.select("doc_id", "lang", toks.alias("t")))
     bigrams = base.select(
         "doc_id",
         "lang",
@@ -56,9 +63,12 @@ def d_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "lang", "b.w1", "b.w2")
+    bigrams = _stage(bigrams)
     c_bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
-    c_w = base.select(F.explode("t").alias("w")).groupBy("w").agg(
-        F.count("*").alias("c_w")
+    c_w = _stage(
+        base.select(F.explode("t").alias("w")).groupBy("w").agg(
+            F.count("*").alias("c_w")
+        )
     )
     vocab = c_w.agg(F.count("*").alias("v"))
     nll = -F.log2(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -206,9 +207,14 @@ def d_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    vocab = docs.select(
-        "lang", F.explode(toks).alias("w")
-    ).distinct()
+    # r8-opt: the distinct per-lang vocabulary feeds three consumers
+    # (sizes + both sides of the overlap self-join) — unstaged, each
+    # re-ran the scan + tokenization + distinct (4 documents scans /
+    # 30 exchange refs in the captured plan); staged, one of each
+    # (guide §2.4).
+    vocab = _stage(
+        docs.select("lang", F.explode(toks).alias("w")).distinct()
+    )
     sizes = vocab.groupBy("lang").agg(F.count("*").alias("nv"))
     a = vocab.select(F.col("lang").alias("la"), "w")
     b = vocab.select(F.col("lang").alias("lb"), "w")

@@ -88,6 +88,16 @@ def test_bm25_matches_python_reference(spark, sf_dir):
         assert abs(gs - es) < 1e-4
 
 
+def test_bm25_single_documents_scan(spark, sf_dir):
+    """r8: doc_len and tf both read the staged row-local token-count
+    rollup, so the runtime plan holds no repeated documents scan (the
+    one scan runs inside the staged subtree at materialization)."""
+    df = wave33.d_bm25_search(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
+
+
 def test_index_stats_identities(spark, sf_dir):
     rows = wave33.d_inverted_index_stats(spark, sf_dir).collect()
     assert len(rows) == wave33.INDEX_TOP_TERMS
