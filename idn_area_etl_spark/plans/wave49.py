@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -104,14 +105,18 @@ def a_sample_size_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users-per-arm needed to detect a relative MDE on the purchase
     rate (alpha=.05 two-sided, power=.8)."""
     ev = load_table(spark, sf_dir, "events")
-    base = ev.agg(
+    # r8-opt: the 1-row base-rate aggregate is consumed once per MDE
+    # in the union — unstaged, every branch re-ran the full events
+    # scan (4 scans in the captured plan); staged it runs once
+    # (guide §2.4).
+    base = _stage(ev.agg(
         (
             F.sum((F.col("event_type") == "purchase").cast("long")).cast(
                 "double"
             )
             / F.count("*")
         ).alias("p1")
-    )
+    ))
     za, zb = F.lit(1.959964), F.lit(0.841621)
     rows = None
     for mde in _MDES:

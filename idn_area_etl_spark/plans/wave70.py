@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.pca import top_principal_component
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -49,12 +50,15 @@ from idn_area_etl_spark.sources.tables import load_table
 def a_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank z for time-to-first-purchase between md5 arms."""
     ev = load_table(spark, sf_dir, "events")
-    first_any = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
-    first_buy = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tb"))
-    )
+    # r8-opt: first-event and first-purchase times come from ONE
+    # events pass (min + conditional min in the same map-side-
+    # combinable aggregate; min over the purchase-only rows equals
+    # min(when(purchase, ts)) since min ignores nulls, and the old
+    # inner join kept exactly the users with a purchase = tb
+    # non-null).  Unstaged the two aggregates + the two downstream
+    # consumers re-scanned events 4x (20 exchange refs in the
+    # captured plan); durations is staged for its two consumers
+    # (guide §2.4).
     arm = (
         F.conv(
             F.substring(
@@ -67,12 +71,20 @@ def a_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 2
     )
-    durations = first_any.join(first_buy, "user_id").select(
-        arm.alias("g"),
-        (
-            (F.unix_micros("tb") - F.unix_micros("t0"))
-            / F.lit(3_600_000_000.0)
-        ).alias("t"),
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tb"),
+    )
+    durations = _stage(
+        firsts.filter(F.col("tb").isNotNull()).select(
+            arm.alias("g"),
+            (
+                (F.unix_micros("tb") - F.unix_micros("t0"))
+                / F.lit(3_600_000_000.0)
+            ).alias("t"),
+        )
     )
     times = durations.groupBy("t").agg(
         F.count("*").alias("d"),

@@ -38,9 +38,16 @@ from idn_area_etl_spark.sources.tables import load_table
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting over user activity."""
     ev = load_table(spark, sf_dir, "events")
-    uw = ev.select(
-        "user_id", F.weekofyear(F.to_date("ts")).alias("wk")
-    ).distinct()
+    # r8-opt: the distinct (user, week) activity list feeds four
+    # consumers (status tagging, churn probe both sides, max week) —
+    # unstaged, each re-ran the events scan + distinct (4 scans / 22
+    # exchange refs in the captured plan); staged, one of each
+    # (guide §2.4).
+    uw = _stage(
+        ev.select(
+            "user_id", F.weekofyear(F.to_date("ts")).alias("wk")
+        ).distinct()
+    )
     w = Window.partitionBy("user_id").orderBy("wk")
     tagged = uw.select(
         "user_id",

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -51,18 +52,28 @@ _BH_Z = (
 def a_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BH(q=0.10) discoveries among per-nation mean-balance z-tests."""
     cust = load_table(spark, sf_dir, "customer")
-    cells = cust.groupBy("c_nationkey").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).alias("s"),
+    # r8-opt: the global moments now roll up FROM the staged 25-row
+    # per-nation cells instead of a second full customer scan
+    # (4 scans / 22 exchange refs in the captured plan -> 1 scan).
+    # Exactness: per-nation decimal sums re-summed over nations equal
+    # the direct global decimal sums (decimal addition is exact and
+    # the accumulator types are unchanged), and count partitions over
+    # nations sum to the global count (guide §2.4).
+    cells = _stage(
+        cust.groupBy("c_nationkey").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).alias("s"),
+            F.sum(
+                (F.col("c_acctbal") * F.col("c_acctbal")).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("ss"),
+        )
     )
-    glob = cust.agg(
-        F.count("*").alias("gn"),
-        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).alias("gsum"),
-        F.sum(
-            (F.col("c_acctbal") * F.col("c_acctbal")).cast(
-                "decimal(38,10)"
-            )
-        ).alias("gss"),
+    glob = cells.agg(
+        F.sum("n").alias("gn"),
+        F.sum("s").alias("gsum"),
+        F.sum("ss").alias("gss"),
     ).select(
         "gn",
         F.col("gsum").cast("double").alias("gsum"),
