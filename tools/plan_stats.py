@@ -47,6 +47,20 @@ COUNTERS = [
 ]
 
 
+def _duplicate_scans(plan: str) -> int:
+    """Extra same-table parquet scans in the plan (0 = every table is
+    scanned at most once).  N scans of one table means the builder
+    re-reads that table N times per action — the multi-consumer
+    subtree re-expansion the r8 staging batches eliminated; this
+    column is how those batches were found."""
+    tabs = re.findall(
+        r"Location: InMemoryFileIndex \[[^\]]*/(\w+)\.parquet", plan
+    )
+    from collections import Counter
+
+    return sum(v - 1 for v in Counter(tabs).values() if v > 1)
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -65,6 +79,7 @@ def main() -> None:
         counts = {
             key: len(re.findall(pat, plan, flags=re.M)) for key, pat in COUNTERS
         }
+        counts["dupscan"] = _duplicate_scans(plan)
         rows.append(
             (name, "\t".join(f"{k}={v}" for k, v in counts.items()))
         )
