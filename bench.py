@@ -44,6 +44,7 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         builder = specs[name].builder
         # two untimed warmups, then best-of-5: C2 JIT of generated
@@ -54,13 +55,18 @@ def main() -> None:
         # was unchanged at 10 in-process iterations)
         for _ in range(2):
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
+        runs = []
         for _ in range(5):
             df = builder(spark, sf_dir)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
+        # per-query spread (max-min of the 5 timed runs): lets a reader
+        # separate host noise from real regressions mechanically
+        # (VERDICT r8 item 7).  Additive top-level key — the `queries`
+        # map stays exactly query -> best-of-5 seconds.
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -70,6 +76,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

@@ -123,18 +123,35 @@ def edit1_candidate_pairs(
     deduplicated.  Guaranteed to be a SUPERSET of all true
     distance<=1 pairs within a block (fuzz-verified against
     brute-force Levenshtein in tests/test_fuzz_scale_ops.py).
+
+    r9-opt (VERDICT r8 item 3, guide §2.4/§6): the normalized
+    projection (block, key, name, len, seg1, seg2) is STAGED once and
+    every join side derives from it by column rename — unstaged, the
+    two sides × three candidate joins re-expanded the source scan six
+    times per run.  Renames are metadata-only, so the staged blocks
+    back all six legs; values unchanged.
     """
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    base = _stage(
+        df.select(
+            F.col(block_col).alias("_block"),
+            F.col(key_col).alias("_key"),
+            F.col(name_col).alias("_name"),
+            F.length(name_col).alias("_len"),
+            F.substring(name_col, 1, split_pos).alias("_seg1"),
+            F.expr(f"substring({name_col}, {split_pos + 1})").alias("_seg2"),
+        )
+    )
 
     def side(suffix: str) -> DataFrame:
-        return df.select(
-            F.col(block_col).alias(f"block_{suffix}"),
-            F.col(key_col).alias(f"key_{suffix}"),
-            F.col(name_col).alias(f"name_{suffix}"),
-            F.length(name_col).alias(f"len_{suffix}"),
-            F.substring(name_col, 1, split_pos).alias(f"seg1_{suffix}"),
-            F.expr(f"substring({name_col}, {split_pos + 1})").alias(
-                f"seg2_{suffix}"
-            ),
+        return base.select(
+            F.col("_block").alias(f"block_{suffix}"),
+            F.col("_key").alias(f"key_{suffix}"),
+            F.col("_name").alias(f"name_{suffix}"),
+            F.col("_len").alias(f"len_{suffix}"),
+            F.col("_seg1").alias(f"seg1_{suffix}"),
+            F.col("_seg2").alias(f"seg2_{suffix}"),
         )
 
     a, b = side("a"), side("b")

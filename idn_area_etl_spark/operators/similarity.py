@@ -264,6 +264,7 @@ def lsh_ann_topk(
     n_tables: int = 4,
     dim: int = 64,
     vec_col: str = "embedding",
+    query_pred=None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH.
 
@@ -271,11 +272,28 @@ def lsh_ann_topk(
     colliding in ANY table become candidates (union of equi-joins on
     (table, bucket) — at 100 TB this is a plain shuffle join on a
     compact key).  Exact cosine ranks the candidates.
+
+    r9-opt (guide §2.4/§6): the projected (id, vec, norm) frame is
+    STAGED once per side and both the bucketize pass and the exact
+    rerank read it — unstaged, Catalyst re-expanded the corpus scan
+    per consumer (bucketize + rerank = 2 full corpus reads, plus 2
+    filtered query reads).  The staged ``_vec`` column holds exactly
+    ``as_double_vec(vec_col)``, so bucket hashes and cosines are
+    bit-identical to the unstaged form (staging moves a
+    materialization boundary, never the dataflow).
+
+    ``query_pred`` (optional): when the query set is a row-filter of
+    ``corpus`` (the common probe pattern), pass a callable mapping the
+    id column to the filter predicate instead of a ``queries`` frame
+    (pass ``queries=None``); the query side is then DERIVED from the
+    staged corpus projection — same rows, same per-row expressions —
+    so the corpus parquet is scanned exactly once for the whole query.
     """
     planes = _deterministic_planes(n_tables, n_planes, dim)
+    from idn_area_etl_spark.operators.dedup import _stage
 
-    def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
-        vec = as_double_vec(F.col(vec_col))
+    def bucketize(prep: DataFrame, id_alias: str) -> DataFrame:
+        vec = F.col(f"_vec_{id_alias}")
         entries = F.explode(
             F.array(
                 *[
@@ -287,22 +305,29 @@ def lsh_ann_topk(
                 ]
             )
         )
-        return df.select(
-            F.col("vec_id").alias(id_alias), entries.alias("e")
+        return prep.select(
+            F.col(id_alias), entries.alias("e")
         ).select(id_alias, "e.table_no", "e.bucket")
 
+    cv = _stage(_with_vec_and_norm(corpus, "neighbor_id", vec_col))
+    if query_pred is not None:
+        qv = cv.filter(query_pred(F.col("neighbor_id"))).select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("_vec_neighbor_id").alias("_vec_query_id"),
+            F.col("_nrm_neighbor_id").alias("_nrm_query_id"),
+        )
+    else:
+        qv = _stage(_with_vec_and_norm(queries, "query_id", vec_col))
     cand_ids = (
-        bucketize(corpus, "neighbor_id")
+        bucketize(cv, "neighbor_id")
         .join(
-            F.broadcast(bucketize(queries, "query_id")),
+            F.broadcast(bucketize(qv, "query_id")),
             ["table_no", "bucket"],
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = _with_vec_and_norm(queries, "query_id", vec_col)
-    cv = _with_vec_and_norm(corpus, "neighbor_id", vec_col)
     cand = cand_ids.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     cos = F.round(
         dot_expr(F.col("_vec_query_id"), F.col("_vec_neighbor_id"))

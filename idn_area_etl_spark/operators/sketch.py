@@ -58,14 +58,31 @@ def count_min_topk(
     long = df.select(key.alias("key"), F.explode(cells).alias("hb")).select(
         "key", F.col("hb.h").alias("h"), F.col("hb.bucket").alias("bucket")
     )
-    sketch = long.groupBy("h", "bucket").agg(F.count("*").alias("cnt"))
-    key_cells = long.distinct()
+    # r9-opt (guide §2.3/§2.4): ONE (key, h, bucket) rollup now feeds
+    # the sketch (sum of per-key cell counts = the cell count), the
+    # distinct key-cell probe (the rollup rows ARE the distinct
+    # cells), and the exact count (each row contributes exactly one
+    # cell per hash row, so the h=0 slice counts rows per key) —
+    # the previous shape ran three independent passes over the
+    # exploded stream (2 duplicate source scans).  Staged: the rollup
+    # is distinct-keys × d rows.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    kc = _stage(
+        long.groupBy("key", "h", "bucket").agg(F.count("*").alias("c"))
+    )
+    sketch = kc.groupBy("h", "bucket").agg(F.sum("c").alias("cnt"))
+    key_cells = kc.select("key", "h", "bucket")
     est = (
         key_cells.join(F.broadcast(sketch), ["h", "bucket"])
         .groupBy("key")
         .agg(F.min("cnt").alias("est_count"))
     )
-    exact = df.groupBy(key.alias("key")).agg(F.count("*").alias("exact_count"))
+    exact = (
+        kc.filter(F.col("h") == 0)
+        .groupBy("key")
+        .agg(F.sum("c").alias("exact_count"))
+    )
     return (
         est.join(exact, "key")
         .select(

@@ -37,6 +37,7 @@ from idn_area_etl_spark.operators.text import (
     quality_score_expr,
     token_stats,
 )
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -312,9 +313,13 @@ def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iterative k-means + inverted-list probe — not SQL-expressible
     # (driver-loop Lloyd iterations) → rows-only; recall vs brute
     # force asserted in pytest.
+    # r9-opt: the embedding table is STAGED once — the k-means init
+    # rounds, the Lloyd iterations, the inverted-list build and the
+    # probe side each re-scanned the parquet otherwise (~11 reads for
+    # k=8/iters=2); staged they read stored blocks.
     from idn_area_etl_spark.operators.ivf import ivf_ann_topk, kmeans_fit
 
-    emb = _emb(spark, sf_dir)
+    emb = _stage(_emb(spark, sf_dir))
     centroids = kmeans_fit(emb, k=8, iters=2)
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_ann_topk(queries, emb, centroids, k=3, n_probe=2)
@@ -323,9 +328,13 @@ def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sign-LSH bucketing is not SQL-expressible → rows-only; recall vs
     # brute force is asserted in pytest.
+    # r9-opt: probes are a row-filter of the corpus, so they derive
+    # from the operator's staged corpus projection (query_pred) — the
+    # embeddings parquet is scanned once per run instead of four times.
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_ann_topk(queries, emb, k=3, n_planes=8)
+    return lsh_ann_topk(
+        None, emb, k=3, n_planes=8, query_pred=lambda c: c < 20
+    )
 
 
 # --------------------------------------------------------------------------
@@ -352,7 +361,13 @@ _PLANT_OFFSET = 1_000_000
 
 
 def _with_plants(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(queries, corpus-with-planted-copies) for the recall specs."""
+    """(queries, corpus-with-planted-copies) for the recall specs.
+
+    r9-opt: callers pass a STAGED base frame — the plant union's two
+    legs (full corpus + filtered copy source) and the downstream ANN
+    operator's query/corpus reads all re-expanded the parquet scan
+    otherwise (e_ann_lsh_planted: 5 duplicate scans); staged, the
+    table is read once per run.  Pure materialization move."""
     queries = emb.filter(F.col("vec_id") < 20)
     plants = queries.withColumn(
         "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
@@ -446,7 +461,7 @@ ORDER BY doc_a
 
 
 def e_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    queries, corpus = _with_plants(_emb(spark, sf_dir))
+    queries, corpus = _with_plants(_stage(_emb(spark, sf_dir)))
     res = lsh_ann_topk(queries, corpus, k=3, n_planes=8)
     return (
         res.filter(
@@ -460,7 +475,7 @@ def e_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from idn_area_etl_spark.operators.ivf import ivf_ann_topk, kmeans_fit
 
-    emb = _emb(spark, sf_dir)
+    emb = _stage(_emb(spark, sf_dir))
     queries, corpus = _with_plants(emb)
     # centroids fit on the base corpus: plants are copies of existing
     # vectors, so including them would only perturb Lloyd means

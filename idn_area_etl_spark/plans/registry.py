@@ -210,60 +210,64 @@ def all_specs() -> dict[str, QuerySpec]:
         "q3_shipping_priority",
         "q5_regional_revenue",
         "q10_returned_items",
-        # fixed this round (array<double> -> scalar p25/p50/p75)
-        "q_percentiles",
     ]
-    # Round-8 rotation (VERDICT r7 item 1): 29 slots — this round's
-    # two new planted fixed-point oracles (BPE merge sequence,
-    # facility-location greedy; verdict items 2 and 5) plus the
-    # rows-only d_bpe_merges whose exact plan the planted twin now
-    # certifies, then 26 never-driver-checked specs from the families
-    # the verdict named: the a_* statistics block (ANOVA, BH-FDR,
-    # permutation test, Poisson bootstrap, CUPED, SRM,
-    # diff-in-diff, empirical-Bayes shrinkage, Horvitz-Thompson,
-    # fixed-effect meta-analysis), the q_* finance/time-series block
-    # (Holt forecast, CUSUM changepoint, survival curve, multi-touch
-    # attribution, EWMA, max drawdown, ACF, rolling correlation), and
-    # the d_* corpus-statistics block (Zipf slope, JS divergence,
-    # lang-ID confusion, inverted-index stats, burstiness, dataset
-    # card, source evenness, positional profile).  All oracle-backed
-    # candidates verified green at sf0.001/0.01/0.1 under the exact
-    # compare AND 4-config invariant at sf0.01 and sf0.1 before
-    # pinning; 29 of 29 never appeared in any r01-r07 window.
+    # Round-9 rotation (VERDICT r8 item 1b): the round-8 optimizer
+    # reshaped 38 specs' dataflow but only three of them sat in the r8
+    # driver window; the other 35 rested on the builder's local oracle
+    # sweeps.  This rotation driver-certifies 29 of those 35 — every
+    # semantics-sensitive rewrite (the d_dsir_weights lockstep oracle
+    # rewrite, s_dedup_keep_best's packed keeper key, the
+    # probe_label_nn two-stage argmax trio + e_semantic_dedup_seeded,
+    # a_logrank_test's one-pass fold, s_temperature_mixture,
+    # d_bm25_search's rollup-derived tf, a_rec_coverage's lazy
+    # catalog count), all ten g_* specs on the shared staged
+    # co_purchase_edges operator, and the batch-7 staged rollups —
+    # plus e_pq_planted, the exact planted oracle that runs the FULL
+    # pq_fit → pq_encode → ADC+rerank chain this round's e_pq staging
+    # restructure touches (VERDICT item 2).  The six r8 reshapes left
+    # out (q_rfm_segments, d_dedup_funnel, s_cluster_aware_split,
+    # d_vocab_growth, a_shapley_attribution, q_rec_mrr_hitrate) are
+    # pure staging moves — values provably unchanged — re-verified by
+    # the local oracle replica at sf0.01+sf0.1.  d_bpe_merges
+    # (rows-only) leaves the scored window per VERDICT item 1b-3; the
+    # planted twin keeps certifying its algorithm from the r8 record.
+    # q_percentiles rotates out after seven straight green rounds
+    # (r02-r08) to free the slot.
     rotation = [
-        # round-8 planted fixed points (verdict items 2 and 5)
-        "d_bpe_merges_planted",
-        "s_facility_planted",
-        "d_bpe_merges",  # rows-only; its exact plan certified by the twin
-        # never-checked a_* statistics
-        "a_anova_oneway",
-        "a_bh_fdr",
-        "a_permutation_test",
-        "a_poisson_bootstrap_ci",
-        "a_cuped_adjustment",
-        "a_srm_check",
-        "a_diff_in_diff",
-        "a_eb_shrinkage",
-        "a_horvitz_thompson",
-        "a_fixed_effect_meta",
-        # never-checked q_* finance / time-series
-        "q_holt_forecast",
-        "q_cusum_changepoint",
-        "q_survival_curve",
-        "q_multitouch_attribution",
-        "q_ewma_user_value",
-        "q_max_drawdown",
-        "q_acf_revenue",
-        "q_rolling_corr_daily",
-        # never-checked d_* corpus statistics
-        "d_zipf_slope",
-        "d_js_divergence_langs",
-        "d_langid_confusion",
-        "d_inverted_index_stats",
-        "d_event_burstiness",
-        "d_dataset_card",
-        "d_source_evenness",
-        "d_positional_profile",
+        # r8 semantics-sensitive rewrites
+        "d_dsir_weights",
+        "s_dedup_keep_best",
+        "a_cohens_kappa",
+        "a_macro_f1",
+        "e_knn_loo_accuracy",
+        "e_semantic_dedup_seeded",
+        "a_logrank_test",
+        "s_temperature_mixture",
+        "d_bm25_search",
+        "a_rec_coverage",
+        # r8 shared staged co-purchase edge operator
+        "g_rich_club",
+        "g_degree_assortativity",
+        "g_two_hop_reach",
+        "g_ego_density",
+        "g_edge_support",
+        "g_triangle_parts",
+        "g_clustering_coefficient",
+        "g_link_prediction",
+        "g_top_triangles",
+        "g_threshold_profile",
+        # r8 batch-7 staged rollups not yet driver-checked
+        "a_frequent_triples",
+        "a_association_rules",
+        "q_seasonal_anomaly",
+        "d_perplexity_bigram",
+        "d_quality_buckets",
+        "a_pmi_bigrams",
+        "d_vocab_overlap",
+        "q_growth_accounting",
+        "a_sample_size_power",
+        # exact planted oracle over the full PQ chain staged in r9
+        "e_pq_planted",
     ]
     window = pinned + rotation
     missing = [n for n in window if n not in specs]

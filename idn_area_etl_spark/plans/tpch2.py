@@ -195,7 +195,14 @@ ORDER BY c_mktsegment
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(dsum(_revenue(), "total_revenue"))
+    # r9-opt (guide §2.4): rev feeds the max probe and the winner
+    # filter; unstaged, the lineitem rollup re-ran per consumer (2
+    # duplicate scans).  Supplier-cardinality staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    rev = _stage(
+        li.groupBy("l_suppkey").agg(dsum(_revenue(), "total_revenue"))
+    )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.crossJoin(F.broadcast(max_rev))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.plans.tpch import _revenue, dsum
 from idn_area_etl_spark.sources.tables import load_table
@@ -188,8 +189,13 @@ ORDER BY nation, o_year DESC
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    pv = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(24,6)")).alias("_v")
+    # r9-opt (guide §2.4): pv feeds the grand total and the threshold
+    # filter; unstaged, the lineitem rollup re-ran per consumer (2
+    # duplicate scans).
+    pv = _stage(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(24,6)")).alias("_v")
+        )
     )
     total = pv.agg(F.sum("_v").cast("double").alias("_total"))
     return (
@@ -389,13 +395,23 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     supp = load_table(spark, sf_dir, "supplier")
     gear = li.join(part, li.l_partkey == part.p_partkey)
-    shipped = gear.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(24,6)")).cast("double").alias("qty")
+    # r9-opt (guide §2.3/§2.4): keep the per-(part, supplier) sum in
+    # EXACT decimal and derive the per-part total from that staged
+    # rollup — decimal sums are associative, so sum-of-group-sums cast
+    # to double is bit-identical to the direct sum, while the second
+    # lineitem-scale scan+aggregation collapses to a rollup over the
+    # (part, supplier) cells (the a_bh_fdr r8 pattern).  Unstaged, the
+    # gear join ran twice (2 duplicate lineitem/part scans).
+    shipped_dec = _stage(
+        gear.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(24,6)")).alias("_qd")
+        )
     )
-    totals = gear.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("total_qty")
+    shipped = shipped_dec.select(
+        "l_partkey", "l_suppkey", F.col("_qd").cast("double").alias("qty")
+    )
+    totals = shipped_dec.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("_qd").cast("double").alias("total_qty")
     )
     dominant = (
         shipped.join(totals, shipped.l_partkey == totals.t_partkey)
@@ -454,10 +470,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
-        "is_late",
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"),
+    # r9-opt (guide §2.4): the joined frame feeds both the per-order
+    # stats and the join-back; unstaged, the lineitem⋈orders join ran
+    # twice (2 duplicate scans of each table).  Staged projection of
+    # exactly the three columns both consumers read — values unchanged.
+    joined = _stage(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
     )
     stats = joined.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

@@ -43,6 +43,7 @@ from idn_area_etl_spark.operators.multimodal import (
     frame_sample,
 )
 from idn_area_etl_spark.operators.text import nfc_normalize_udf
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -127,7 +128,10 @@ def mm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit per-doc header fields the DuckDB oracle recomputes
     algebraically from the text's UTF-8 byte length alone."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = _encode_docs_as_media(docs)
+    # r9-opt (guide §2.4): media feeds the WAV decode, BMP decode and
+    # frame-sample legs; unstaged, the Arrow encode stage re-ran per
+    # consumer (2 duplicate scans).  Bounded: 200 docs.
+    media = _stage(_encode_docs_as_media(docs))
     wav_meta = decode_payloads(
         media.select("doc_id", F.col("wav").alias("payload"))
     ).select(
@@ -203,9 +207,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression in the Pandas-UDF codec path (window offsets, header
     parsing, digesting) flips digest_ok or moves ts_ms and fails the
     hash check."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # r9-opt (guide §2.4): the bounded 50-doc base feeds the encode
+    # stage and the native length recomputation, and the encoded WAV
+    # feeds both the sampler and the digest join; unstaged, the scan
+    # and the Arrow encode re-ran per consumer (2 duplicate scans).
+    docs = _stage(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
     media = _encode_docs_as_media(docs)
-    wav = media.select("doc_id", F.col("wav").alias("payload"))
+    wav = _stage(media.select("doc_id", F.col("wav").alias("payload")))
     frames = frame_sample(wav, n_samples=4, window_ms=5)
 
     # native recomputation of each frame's byte window (mirrors

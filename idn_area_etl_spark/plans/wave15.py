@@ -99,9 +99,16 @@ def e_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     products — order-independent, bit-exact.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    # r9-opt (guide §2.4): vec feeds the scale fit and the quantize
+    # pass; quant feeds both scoring sides — unstaged, the parquet
+    # scan re-ran per consumer (3 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    vec = _stage(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
     )
     scales_row = (
         vec.select(F.posexplode("vec").alias("pos", "val"))
@@ -114,7 +121,7 @@ def e_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scales")
         )
     )
-    quant = (
+    quant = _stage(
         vec.crossJoin(F.broadcast(scales_row))
         .select(
             "vec_id",

@@ -40,6 +40,7 @@ from idn_area_etl_spark.operators.similarity import (
     norm_expr,
 )
 from idn_area_etl_spark.operators.text import soundex_expr, tokens_expr
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -52,8 +53,6 @@ def d_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses round-9 → exact decimal sums (order-independent), rounded
     to 6dp on output.
     """
-    from idn_area_etl_spark.operators.dedup import _stage
-
     docs = load_table(spark, sf_dir, "documents")
     # r8-opt: toks feeds the bigram explode AND the unigram counts;
     # bigrams feeds the LM counts AND the scoring probe; c_w feeds
@@ -263,8 +262,6 @@ def e_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate with its corpus-scale shuffle) runs TWICE, once per
     # join side (4 parquet scans / 2 NLJs in the captured plan).
     # Staged, the corpus is scored against the seeds once.
-    from idn_area_etl_spark.operators.dedup import _stage
-
     assigned = _stage(seeded_semantic_clusters(emb))
     a = assigned.select(
         F.col("cluster"),

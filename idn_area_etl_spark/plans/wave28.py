@@ -242,11 +242,16 @@ def q_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
         F.sum(rev.cast("decimal(24,6)")).alias("x_dec")
     )
-    dow = daily.groupBy(
-        F.dayofweek("day").alias("dow")
-    ).agg(
-        F.count("*").alias("n_days"),
-        F.sum("x_dec").alias("dow_rev"),
+    # r9-opt (guide §2.4): dow feeds the grand total and the final
+    # select; unstaged, the lineitem rollup re-ran per consumer (2
+    # duplicate scans).  7-row staged frame.
+    dow = _stage(
+        daily.groupBy(
+            F.dayofweek("day").alias("dow")
+        ).agg(
+            F.count("*").alias("n_days"),
+            F.sum("x_dec").alias("dow_rev"),
+        )
     )
     tot = dow.agg(
         F.sum("dow_rev").alias("tot"), F.sum("n_days").alias("all_days")
@@ -306,9 +311,16 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration: per spend-decile customer counts and
     exact decimal revenue shares (tabular Lorenz curve)."""
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("spend_dec")
-    ).withColumn("spend", F.col("spend_dec").cast("double"))
+    # r9-opt (guide §2.4): per_cust feeds the decile thresholds, the
+    # total and the bucketed aggregation; unstaged, the orders rollup
+    # re-ran per consumer (2 duplicate scans).
+    per_cust = _stage(
+        o.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias(
+                "spend_dec"
+            )
+        ).withColumn("spend", F.col("spend_dec").cast("double"))
+    )
     qs = [(i, LORENZ_BUCKETS) for i in range(1, LORENZ_BUCKETS)]
     # discrete decile thresholds (r7: no interpolated percentiles)
     thr = discrete_quantiles(per_cust, F.col("spend"), qs).crossJoin(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.ranks import global_order_stats
 from idn_area_etl_spark.operators.ranks import grouped_running_multi
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -60,8 +61,16 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     running counts (event_type is a fixed taxonomy — the funnel
     regime for a plain per-type window)."""
     ev = load_table(spark, sf_dir, "events")
-    rolled = ev.groupBy("event_type", "value").agg(
-        F.count("*").alias("cnt")
+    # r9-opt (guide §2.3/§2.4): the clipped mean now derives from the
+    # STAGED (type, value, cnt) rollup — clipping maps every copy of
+    # a distinct value to the same clipped value, so the winsorized
+    # sum is cnt exact-decimal copies of it (decimal × cnt = the sum
+    # of cnt copies, exactly) — instead of re-scanning events for the
+    # per-row clip pass (2 duplicate scans before).
+    rolled = _stage(
+        ev.groupBy("event_type", "value").agg(
+            F.count("*").alias("cnt")
+        )
     )
     run = grouped_running_multi(
         rolled, ["event_type"], [F.col("value")], {"c": F.col("cnt")}
@@ -77,8 +86,9 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((before < hi_r) & (hi_r <= F.col("grun_c")), F.col("value"))
         ).alias("hi"),
     )
-    clipped = ev.join(F.broadcast(thr), "event_type").select(
+    clipped = rolled.join(F.broadcast(thr), "event_type").select(
         "event_type",
+        "cnt",
         F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
             "v"
         ),
@@ -86,10 +96,17 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clipped.groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
+            F.sum("cnt").alias("n"),
             F.round(
-                F.sum(F.col("v").cast("decimal(24,6)")).cast("double")
-                / F.count("*").cast("double"),
+                # cnt cast to decimal(13,0) keeps the product at
+                # decimal(38,6) — exact (a bare long multiplicand
+                # pushes precision past 38; Spark then truncates)
+                F.sum(
+                    F.col("v").cast("decimal(24,6)")
+                    * F.col("cnt").cast("decimal(13,0)")
+                )
+                .cast("double")
+                / F.sum("cnt").cast("double"),
                 6,
             ).alias("winsorized_mean"),
         )
@@ -257,8 +274,13 @@ def s_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mixture construction: per-language
     quotas from permille targets bounded by the bottleneck language,
     membership by salted-md5 rank (partition-invariant)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("lang").isin(*MIXTURE_PERMILLE)
+    # r9-opt (guide §2.4): the projected doc list feeds the
+    # availability rollup and the ranked-membership pass; unstaged,
+    # the documents scan re-ran per consumer (2 duplicate scans).
+    docs = _stage(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(*MIXTURE_PERMILLE))
+        .select("lang", "doc_id", "n_chars")
     )
     weights = F.create_map(
         *[

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.graph import connected_components
 from idn_area_etl_spark.operators.sketch import md5_bucket
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -58,8 +59,14 @@ def q_loyal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    oc = o.join(c, o.o_custkey == c.c_custkey).join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    # r9-opt (guide §2.4): oc feeds both the nation-mean rollup and
+    # the per-customer aggregate; unstaged, the orders⋈customer join
+    # re-ran per consumer (3 duplicate scans).  Staged projection of
+    # exactly the columns both consumers read — values unchanged.
+    oc = _stage(
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_custkey", "o_totalprice", "n_name")
     )
     nat_mean = oc.groupBy("n_name").agg(
         (
@@ -313,17 +320,17 @@ ORDER BY query_id, rnk
 def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly active / new / returning user counts."""
     ev = load_table(spark, sf_dir, "events")
-    weekly = (
+    # r9-opt (guide §2.3/§2.4): both rollups derive from ONE staged
+    # distinct (week, user) frame — week truncation is monotonic, so
+    # the per-user first week equals the min over the user's distinct
+    # weeks.  Unstaged, the events scan ran twice.
+    uw = _stage(
         ev.select(
             F.trunc(F.to_date("ts"), "week").alias("week"), "user_id"
-        )
-        .distinct()
-        .groupBy("week")
-        .agg(F.count("*").alias("active_users"))
+        ).distinct()
     )
-    first_week = ev.groupBy("user_id").agg(
-        F.trunc(F.min(F.to_date("ts")), "week").alias("week")
-    )
+    weekly = uw.groupBy("week").agg(F.count("*").alias("active_users"))
+    first_week = uw.groupBy("user_id").agg(F.min("week").alias("week"))
     new_users = first_week.groupBy("week").agg(
         F.count("*").alias("new_users")
     )

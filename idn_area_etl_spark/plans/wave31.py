@@ -192,7 +192,14 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic for lineitem.l_orderkey: count stats
     + skew ratio + hottest keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    # r9-opt (guide §2.4): per_key feeds the p99 rollup, the stats
+    # aggregate and the hot-key probe; unstaged, the lineitem scan +
+    # rollup re-ran per consumer (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    per_key = _stage(
+        li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    )
     # discrete p99 (stored count at rank ceil(0.99 n)) — never a
     # cross-engine float-interpolated percentile (the r6
     # a_quantile_sketch red-row class); rank-selected from running

@@ -224,13 +224,20 @@ CENSOR_DAYS = 7
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly Kaplan-Meier over user activity lifetimes."""
     ev = load_table(spark, sf_dir, "events")
-    horizon = ev.agg(F.max(F.to_date("ts")).alias("horizon"))
-    lives = (
-        ev.groupBy("user_id")
-        .agg(
+    # r9-opt (guide §2.3/§2.4): the horizon derives from the staged
+    # per-user rollup (max over per-user maxes = the global max date,
+    # exactly) instead of a second full events scan.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    per_user = _stage(
+        ev.groupBy("user_id").agg(
             F.min(F.to_date("ts")).alias("first_d"),
             F.max(F.to_date("ts")).alias("last_d"),
         )
+    )
+    horizon = per_user.agg(F.max("last_d").alias("horizon"))
+    lives = (
+        per_user
         .crossJoin(F.broadcast(horizon))
         .select(
             (

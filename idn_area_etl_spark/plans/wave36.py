@@ -195,11 +195,26 @@ ENGAGE_TOP_K = 20
 def q_recency_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top users by exponentially-decayed activity score."""
     ev = load_table(spark, sf_dir, "events")
-    horizon = ev.agg(F.max(F.to_date("ts")).alias("horizon"))
-    scored = ev.crossJoin(F.broadcast(horizon)).select(
+    # r9-opt (guide §2.3/§2.4): events with equal (user, day) share
+    # one decay weight, so the score is computed on the staged
+    # (user, day, cnt) rollup — the horizon derives from the same
+    # rollup (max over days present = the global max date) instead of
+    # a second full scan, and the decayed sum is cnt exact-decimal
+    # copies of the identical per-day weight (sum of cnt copies of a
+    # decimal = the decimal × cnt, exactly).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    ud = _stage(
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        ).agg(F.count("*").alias("cnt"))
+    )
+    horizon = ud.agg(F.max("day").alias("horizon"))
+    scored = ud.crossJoin(F.broadcast(horizon)).select(
         "user_id",
+        "cnt",
         F.exp(
-            -F.datediff("horizon", F.to_date("ts")).cast("double")
+            -F.datediff("horizon", F.col("day")).cast("double")
             * F.lit(0.6931471805599453)
             / F.lit(HALF_LIFE_DAYS)
         ).alias("w"),
@@ -207,9 +222,17 @@ def q_recency_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("user_id")
         .agg(
-            F.count("*").alias("n_events"),
+            F.sum("cnt").alias("n_events"),
             F.round(
-                F.sum(F.col("w").cast("decimal(24,12)")).cast("double"), 6
+                # cnt cast to decimal(13,0) keeps the product at
+                # decimal(38,12) — EXACT (a bare long multiplicand
+                # pushes precision past 38 and Spark silently reduces
+                # the scale to 6)
+                F.sum(
+                    F.col("w").cast("decimal(24,12)")
+                    * F.col("cnt").cast("decimal(13,0)")
+                ).cast("double"),
+                6,
             ).alias("engagement"),
         )
         .orderBy(F.col("engagement").desc(), "user_id")

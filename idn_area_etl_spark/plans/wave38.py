@@ -292,10 +292,17 @@ FROM gains ORDER BY info_gain DESC, cand LIMIT 1
 def e_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-silhouette per label: a = ‖x − c_own‖, b = min other
     centroid distance, s = (b−a)/max(a,b)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    # r9-opt (guide §2.4): emb feeds both the centroid rollup and the
+    # scoring crossJoin; unstaged, the parquet scan re-ran per
+    # consumer (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    emb = _stage(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
     )
     exploded = emb.select(
         "label", F.posexplode("vec").alias("pos", "v")

@@ -165,7 +165,16 @@ def w_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist are functions of (rows before this value, distinct
     values before this value, group total) — then join back to the
     supplier rows on the data-scaled (nation, balance) key."""
-    supp = load_table(spark, sf_dir, "supplier")
+    # r9-opt (guide §2.4): the projection feeds the rank rollup and
+    # the join-back; unstaged, the supplier scan re-ran per consumer
+    # (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    supp = _stage(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_nationkey", "s_suppkey", "s_acctbal"
+        )
+    )
     rolled = supp.groupBy("s_nationkey", "s_acctbal").agg(
         F.count("*").alias("cnt")
     )

@@ -124,12 +124,19 @@ def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("converted").alias("x")
     )
     w = Window.partitionBy()
-    pooled = counts.select(
-        "arm",
-        "n",
-        "x",
-        F.sum("n").over(w).alias("n_tot"),
-        F.sum("x").over(w).alias("x_tot"),
+    # r9-opt (guide §2.4): pooled feeds both arm legs; unstaged, the
+    # events scan + per-user rollup re-ran per consumer (2 duplicate
+    # scans).  2-row staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    pooled = _stage(
+        counts.select(
+            "arm",
+            "n",
+            "x",
+            F.sum("n").over(w).alias("n_tot"),
+            F.sum("x").over(w).alias("x_tot"),
+        )
     )
     a = pooled.filter(F.col("arm") == 0).select(
         F.col("n").alias("n0"),

@@ -24,19 +24,15 @@ from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
 
-def _card_rows(docs: DataFrame, label_col) -> DataFrame:
-    canon = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
-    enriched = docs.select(
+def _card_rows(enriched: DataFrame, label_col) -> DataFrame:
+    """Card rollup over a pre-enriched (lang, n_toks, n_chars, ckey)
+    frame (r9: the tokenize + canonical-md5 pass is computed ONCE and
+    staged by the caller; both label groupings read it)."""
+    enriched = enriched.select(
         label_col.alias("lang_group"),
-        F.size(tokens_expr(F.col("text"))).alias("n_toks"),
-        F.col("n_chars"),
-        F.md5(canon).alias("ckey"),
+        "n_toks",
+        "n_chars",
+        "ckey",
     )
     per_key = enriched.groupBy("lang_group", "ckey").agg(
         F.count("*").alias("k"),
@@ -64,8 +60,28 @@ def _card_rows(docs: DataFrame, label_col) -> DataFrame:
 def d_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus release card: per-language + ALL rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    per_lang = _card_rows(docs, F.col("lang"))
-    overall = _card_rows(docs, F.lit("ALL"))
+    # r9-opt (guide §2.4): the tokenize + canonical-md5 enrichment
+    # feeds both label groupings; unstaged, the corpus scan + regex
+    # passes re-ran per grouping (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    base = _stage(
+        docs.select(
+            "lang",
+            F.size(tokens_expr(F.col("text"))).alias("n_toks"),
+            F.col("n_chars"),
+            F.md5(canon).alias("ckey"),
+        )
+    )
+    per_lang = _card_rows(base, F.col("lang"))
+    overall = _card_rows(base, F.lit("ALL"))
     return per_lang.unionAll(overall).orderBy("lang_group")
 
 

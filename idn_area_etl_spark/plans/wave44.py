@@ -303,7 +303,12 @@ def d_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_shingles_expr(F.col("text"), 8).alias("sh"),
         )
     )
-    ex = tok.select("doc_id", "lang", F.explode("sh").alias("s"))
+    # r9-opt (guide §2.4): ex feeds the duplicate-shingle vocabulary
+    # and the per-doc fraction; unstaged, the corpus scan + shingle
+    # explode re-ran per consumer (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    ex = _stage(tok.select("doc_id", "lang", F.explode("sh").alias("s")))
     dupset = (
         ex.groupBy("s")
         .agg(F.count("*").alias("ndocs"))

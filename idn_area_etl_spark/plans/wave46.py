@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from idn_area_etl_spark.operators.dedup import token_ngrams_expr
+from idn_area_etl_spark.operators.dedup import _stage, token_ngrams_expr
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.plans.wave32 import _score_expr, _score_sql
 from idn_area_etl_spark.sources.tables import load_table
@@ -43,9 +43,13 @@ from idn_area_etl_spark.sources.tables import load_table
 def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day DAU, trailing-7-day WAU, and the stickiness ratio."""
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+    # r9-opt (guide §2.4): ud feeds bounds, DAU and WAU; unstaged, the
+    # events scan + distinct re-ran per consumer (2 duplicate scans).
+    ud = _stage(
+        ev.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+    )
     bounds = ud.agg(F.max("day").alias("max_day"))
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     # a (user, day) presence supports WAU on days day .. day+6
@@ -109,15 +113,29 @@ ORDER BY dau.day
 def d_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-vs-total word n-gram ratio per language, n = 1..3."""
     docs = load_table(spark, sf_dir, "documents")
+    # r9-opt (guide §2.4/§6): the three n-gram legs each re-scanned
+    # and re-tokenized the corpus (2 duplicate scans).  All three
+    # positional n-gram arrays now come out of ONE staged pass — the
+    # per-n expressions are unchanged, so the exploded rows are
+    # identical.
+    base = _stage(
+        docs.select(
+            "lang",
+            *[
+                token_ngrams_expr(F.col("text"), n).alias(f"g{n}")
+                for n in (1, 2, 3)
+            ],
+        )
+    )
     parts = []
     for n in (1, 2, 3):
         # shared regex-scan n-grams (duplicates kept); empty array for
         # <n-token docs, so explode drops them — same rows as the old
         # size(ws)>=n filter + positional transform
-        grams = docs.select(
+        grams = base.select(
             "lang",
             F.lit(n).alias("n"),
-            F.explode(token_ngrams_expr(F.col("text"), n)).alias("g"),
+            F.explode(F.col(f"g{n}")).alias("g"),
         )
         parts.append(grams)
     allg = parts[0].unionByName(parts[1]).unionByName(parts[2])
@@ -172,8 +190,13 @@ FROM grams GROUP BY lang, n ORDER BY lang, n
 def s_purged_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 contiguous date folds over orders with a 30-day embargo:
     per fold, the validation span and train/embargo sizes."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    # r9-opt (guide §2.4): orders feeds the fold assignment and the
+    # embargo tagging; unstaged, the scan re-ran per consumer (2
+    # duplicate scans).
+    orders = _stage(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.to_date("o_orderdate").alias("d")
+        )
     )
     folds = orders.withColumn(
         "fold",
@@ -257,10 +280,24 @@ def a_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "y",
     )
-    per_bin = binned.groupBy("bin").agg(
-        F.count("*").alias("n_k"),
-        F.sum("y").alias("pos_k"),
-        F.sum(F.col("score").cast("decimal(20,6)")).alias("score_sum"),
+    # r9-opt (guide §2.3/§2.4): the staged 10-row per-bin rollup also
+    # carries the squared-error sum, so the global Brier numerator
+    # rolls up from the bins (decimal sums are associative →
+    # bit-identical) instead of re-scanning the corpus; tot and the
+    # component terms read the same staged frame (2 duplicate scans
+    # before).
+    per_bin = _stage(
+        binned.groupBy("bin").agg(
+            F.count("*").alias("n_k"),
+            F.sum("y").alias("pos_k"),
+            F.sum(F.col("score").cast("decimal(20,6)")).alias("score_sum"),
+            F.sum(
+                (
+                    (F.col("score") - F.col("y"))
+                    * (F.col("score") - F.col("y"))
+                ).cast("decimal(27,12)")
+            ).alias("sq_sum_k"),
+        )
     )
     tot = per_bin.agg(
         F.sum("n_k").alias("n"),
@@ -279,11 +316,11 @@ def a_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("pos"),
     )
-    brier = scored.agg(
-        F.sum(
-            ((F.col("score") - F.col("y")) * (F.col("score") - F.col("y")))
-            .cast("decimal(27,12)")
-        ).alias("sq_sum")
+    # cast back to the direct-aggregation type decimal(37,12) —
+    # lossless (same exact total), keeps the downstream decimal
+    # division bit-identical to the pre-rollup shape
+    brier = per_bin.agg(
+        F.sum("sq_sum_k").cast("decimal(37,12)").alias("sq_sum")
     )
     return (
         comps.groupBy("n", "pos")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -40,8 +41,13 @@ def j_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 co-purchase neighbors by cosine for parts with
     l_partkey < 50."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    npart = op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    # r9-opt (guide §2.4): op feeds three consumers (npart + both pair
+    # sides) and npart two (n1/n2); unstaged, the scan → distinct
+    # subtree re-ran per consumer (3 duplicate lineitem scans).
+    op = _stage(li.select("l_orderkey", "l_partkey").distinct())
+    npart = _stage(
+        op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    )
     a = op.filter(F.col("l_partkey") < 50).select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
     )
@@ -210,6 +216,10 @@ def a_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y_d").cast("double").alias("y"),
         )
     )
+    # r9-opt (guide §2.4): per_user feeds the theta moments and the
+    # per-arm adjustment; unstaged, the events rollup re-ran per
+    # consumer (2 duplicate scans).
+    per_user = _stage(per_user)
     moments = per_user.agg(
         F.count("*").alias("n"),
         F.sum(F.col("x").cast("decimal(27,6)")).alias("sx"),

@@ -168,16 +168,28 @@ def s_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection: keep doc iff md5-uniform < sigmoid(llr score);
     per-language kept share and token budget."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
-    occ = docs.select(
-        "doc_id", "lang", F.explode(toks).alias("w")
-    )
-    vocab = occ.groupBy("w").agg(
-        F.count("*").alias("rc"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("tc"),
+    # r9-opt (guide §2.3/§2.4): the corpus is tokenized ONCE into the
+    # staged row-local run-length rollup (doc, lang, w, cnt) — the
+    # wave44 d_dsir_weights recipe, equality with explode → groupBy
+    # pinned by tests/test_plans_wave44.py — and both the vocabulary
+    # fit and the per-doc scoring read it.  Unstaged, the explode ran
+    # twice (2 duplicate corpus scans) and every exchange carried
+    # occurrences instead of distinct (doc, w) pairs.  Exactness: rc /
+    # tc / n_toks are sums of cnt (= the occurrence counts); the score
+    # is sum(cnt copies of lr) = lr·cnt in exact decimal.
+    from idn_area_etl_spark.operators.dedup import _stage
+    from idn_area_etl_spark.plans.wave44 import doc_token_counts
+
+    tok = _stage(doc_token_counts(docs))
+    vocab = _stage(
+        tok.groupBy("w").agg(
+            F.sum("cnt").alias("rc"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("cnt")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("tc"),
+        )
     )
     totals = vocab.agg(
         F.sum("rc").alias("R"), F.sum("tc").alias("T"), F.count("*").alias("V")
@@ -192,13 +204,19 @@ def s_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lr"),
     )
     scores = (
-        occ.join(F.broadcast(ratio), "w")
+        tok.join(F.broadcast(ratio), "w")
         .groupBy("doc_id", "lang")
         .agg(
-            F.sum(F.col("lr").cast("decimal(27,12)"))
+            # cnt cast to decimal(10,0) keeps the product at
+            # decimal(38,12) — EXACT (a bare long multiplicand pushes
+            # precision past 38 and Spark silently reduces the scale)
+            F.sum(
+                F.col("lr").cast("decimal(27,12)")
+                * F.col("cnt").cast("decimal(10,0)")
+            )
             .cast("double")
             .alias("score"),
-            F.count("*").alias("n_toks"),
+            F.sum("cnt").alias("n_toks"),
         )
     )
     u = (

@@ -197,12 +197,19 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
     )
     armed = ev.select(arm.alias("arm"), "value")
-    stats = armed.groupBy("arm").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)")).alias(
-            "ss"
-        ),
+    # r9-opt (guide §2.4): stats feeds both arm legs; unstaged, the
+    # events scan + rollup re-ran per consumer (2 duplicate scans).
+    # 2-row staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    stats = _stage(
+        armed.groupBy("arm").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(38,10)")
+            ).alias("ss"),
+        )
     )
     a = stats.filter(F.col("arm") == 0).select(
         F.col("n").alias("n0"),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -38,12 +39,19 @@ from idn_area_etl_spark.sources.tables import load_table
 def a_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of c_acctbal across nations: SSB, SSW, F."""
     cust = load_table(spark, sf_dir, "customer")
-    g = cust.groupBy("c_nationkey").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).alias("s"),
-        F.sum(
-            (F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(38,10)")
-        ).alias("ss"),
+    # r9-opt (guide §2.4): g feeds the grand totals and the
+    # between-group pass; unstaged, the customer rollup re-ran per
+    # consumer (2 duplicate scans).  25-row staged frame.
+    g = _stage(
+        cust.groupBy("c_nationkey").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).alias("s"),
+            F.sum(
+                (F.col("c_acctbal") * F.col("c_acctbal")).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("ss"),
+        )
     )
     tot = g.agg(
         F.count("*").alias("k"),
@@ -133,14 +141,19 @@ def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    ranked = rev.select(
-        "c_nationkey",
-        F.row_number()
-        .over(Window.orderBy(F.desc("early"), "c_nationkey"))
-        .alias("re"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("late"), "c_nationkey"))
-        .alias("rl"),
+    # r9-opt (guide §2.4): ranked feeds both sides of the pair
+    # self-join; unstaged, the orders⋈customer rollup re-ran per side
+    # (2 duplicate scans).  25-row staged frame.
+    ranked = _stage(
+        rev.select(
+            "c_nationkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("early"), "c_nationkey"))
+            .alias("re"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("late"), "c_nationkey"))
+            .alias("rl"),
+        )
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     pairs = a.join(

@@ -108,12 +108,19 @@ def a_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust slope of daily revenue: exact median of all
     pairwise slopes over the daily rollup."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("rev")
+    # r9-opt (guide §2.4): daily feeds both pairwise-slope sides;
+    # unstaged, the events rollup re-ran per side (2 duplicate
+    # scans).  Day-cardinality staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    daily = _stage(
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("rev")
+        )
     )
     a = daily.select(
         F.col("d").alias("d1"), F.col("rev").alias("r1")

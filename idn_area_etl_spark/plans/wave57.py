@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.ranks import global_ntile
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -44,7 +45,10 @@ def a_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", F.year("o_orderdate").alias("yr")),
         li.l_orderkey == F.col("o_orderkey"),
     ).filter(F.col("yr").isin(1996, 1997))
-    per = j.groupBy("l_partkey", "yr").agg(
+    # r9-opt (guide §2.4): per feeds the base-year and current-year
+    # legs; unstaged, the lineitem⋈orders join re-ran per consumer
+    # (2 duplicate scans).
+    per = _stage(j.groupBy("l_partkey", "yr").agg(
         F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("q"),
         F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).alias("v"),
     ).select(
@@ -53,7 +57,7 @@ def a_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         (F.col("v") / F.col("q")).cast("double").alias("p"),
         F.col("q").cast("double").alias("qd"),
-    )
+    ))
     base = per.filter(F.col("yr") == 1996).select(
         "l_partkey",
         F.col("p").alias("p0"),
@@ -218,7 +222,10 @@ def a_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirical state frequencies as the stationary proxy."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
+    # r9-opt (guide §2.4): trans feeds the row totals and the term
+    # join; unstaged, the events scan + lag window re-ran per
+    # consumer (2 duplicate scans).  |event_type|²-row staged frame.
+    trans = _stage(
         ev.select(
             "user_id",
             F.col("event_type").alias("s"),

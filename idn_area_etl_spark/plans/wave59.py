@@ -52,13 +52,26 @@ def a_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day always-valid mSPRT likelihood ratio on the cumulative
     arm difference of mean event value."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.select(
-        F.to_date("ts").alias("day"),
-        _ARM(F.col("user_id")).alias("arm"),
-        "value",
-    ).groupBy("day", "arm").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+    # r9-opt (guide §2.3/§2.4): ONE staged per-(day, arm) rollup now
+    # also carries the squared-value sum, so the pooled variance
+    # derives from the cells (decimal sums are associative → the
+    # global N/S/SS are bit-identical to the direct pass) instead of
+    # re-scanning events; the two cumulative arms read the same
+    # staged frame (2 duplicate scans before).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    daily = _stage(
+        ev.select(
+            F.to_date("ts").alias("day"),
+            _ARM(F.col("user_id")).alias("arm"),
+            "value",
+        ).groupBy("day", "arm").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(38,10)")
+            ).alias("ss"),
+        )
     )
     w = Window.partitionBy("arm").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
@@ -75,13 +88,12 @@ def a_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = cum.filter(F.col("arm") == 1).select(
         "day", F.col("cn").alias("n1"), F.col("cs").alias("s1")
     )
-    # plug-in variance: pooled variance of value over ALL events
-    var = ev.agg(
-        F.count("*").alias("N"),
-        F.sum(F.col("value").cast("decimal(27,6)")).alias("S"),
-        F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(38,10)")
-        ).alias("SS"),
+    # plug-in variance: pooled variance of value over ALL events,
+    # rolled up from the staged daily cells (exact decimal sums)
+    var = daily.agg(
+        F.sum("n").alias("N"),
+        F.sum("s").alias("S"),
+        F.sum("ss").alias("SS"),
     ).select(
         (
             (

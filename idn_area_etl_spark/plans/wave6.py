@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.dedup import jaccard_edges
 from idn_area_etl_spark.operators.graph import connected_components
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -118,7 +119,15 @@ def d_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # r9-opt (guide §2.4): tf feeds the document-frequency rollup and
+    # the scoring join; unstaged, the corpus tokenize + (doc, term)
+    # agg re-ran per consumer (1 duplicate corpus scan).  The
+    # n_docs count keeps its own scan deliberately: a count-star
+    # parquet read touches only footers, while staging the raw text
+    # to avoid it would materialize the whole corpus.
+    tf = _stage(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
@@ -219,7 +228,14 @@ def q_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical shape Delta/Iceberg MERGE produces for full-overlap
     update sets.  No table format needed for the semantics.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # r9-opt (guide §2.4): the projection feeds the base leg and the
+    # synthetic update batch; unstaged, the orders scan re-ran per
+    # union leg (2 duplicate scans).
+    orders = _stage(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
     base = orders.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
     )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -186,8 +187,15 @@ def q_seq_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support of ordered event-type triples a ... b ... c (any
     gaps), via first/last bounds plus a conditional middle test."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.groupBy("user_id", "event_type").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    # r9-opt (guide §2.4): the projected event stream feeds the
+    # bounds rollup and the middle-event probe, and bounds feeds both
+    # pair sides; unstaged, the events scan re-ran per consumer (2
+    # duplicate scans).
+    evp = _stage(ev.select("user_id", "event_type", "ts"))
+    bounds = _stage(
+        evp.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
     )
     a = bounds.select(
         F.col("user_id").alias("u"),
@@ -203,7 +211,7 @@ def q_seq_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     ac = a.join(c, "u").filter(
         (F.col("ta") != F.col("tc")) & (F.col("fa") < F.col("lc"))
     )
-    mids = ev.select(
+    mids = evp.select(
         F.col("user_id").alias("u"),
         F.col("event_type").alias("tb"),
         F.col("ts").alias("bt"),
@@ -259,7 +267,10 @@ def q_basket_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-parts-per-order distribution + Poisson dispersion
     index (variance / mean)."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = (
+    # r9-opt (guide §2.4): per_order feeds the size distribution and
+    # the dispersion moments; unstaged, the lineitem scan + distinct
+    # re-ran per consumer (2 duplicate scans).
+    per_order = _stage(
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_orderkey")

@@ -31,6 +31,7 @@ from idn_area_etl_spark.operators.similarity import (
     dot_expr,
     norm_expr,
 )
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -46,7 +47,14 @@ _BRACKETS = ((0, 100), (100_000, 250), (200_000, 400))
 def a_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HT estimate of total order value from a PPS md5 sample
     (expected sample size ~ 500), vs the checkable truth."""
-    orders = load_table(spark, sf_dir, "orders")
+    # r9-opt (guide §2.4): the 2-column projection feeds the grand
+    # total and the per-order inclusion pass; unstaged, the orders
+    # scan re-ran per consumer (2 duplicate scans).
+    orders = _stage(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
     tot = orders.agg(
         F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
         .cast("double")
@@ -201,9 +209,14 @@ def e_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet-margin sanity: violation rate over deterministic
     (anchor, pos, neg) triplets for anchors vec_id < 30."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", norm_expr(F.col("vec")))
+    # r9-opt (guide §2.4): v feeds the anchor, positive and negative
+    # sides; unstaged, the scan + norm re-ran per consumer (2
+    # duplicate scans).
+    v = _stage(
+        emb.select(
+            "vec_id", "label", as_double_vec(F.col("embedding")).alias("vec")
+        ).withColumn("nrm", norm_expr(F.col("vec")))
+    )
     anchors = v.filter(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("aid"),
         F.col("label").alias("albl"),

@@ -39,12 +39,19 @@ def a_best_split_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best single split of the 30-day revenue series by total SSE,
     with the explained-variance share."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("y")
+    # r9-opt (guide §2.4): daily feeds the prefix-sum pass and the
+    # grand totals; unstaged, the events rollup re-ran per consumer
+    # (2 duplicate scans).  30-row staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    daily = _stage(
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("y")
+        )
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     pre = daily.select(

@@ -131,12 +131,18 @@ GROUP BY lang ORDER BY lang
 def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test on daily revenue."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("y")
+    # r9-opt (guide §2.4): daily feeds both pairwise sides; unstaged,
+    # the events rollup re-ran per side (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    daily = _stage(
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("y")
+        )
     )
     a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
     b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))

@@ -43,8 +43,15 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed md5-arm diff in mean user value vs 24 md5
     re-randomizations; share of permuted |diffs| >= observed."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(27,6)")).alias("tv")
+    # r9-opt (guide §2.4): per_user feeds the observed-arm rollup and
+    # the 24-way permutation explode; unstaged, the events scan +
+    # rollup re-ran per consumer (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    per_user = _stage(
+        ev.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("tv")
+        )
     )
 
     def arm(prefix):

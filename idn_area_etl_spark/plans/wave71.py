@@ -150,12 +150,20 @@ def a_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the order-total tail index over the top 100
     order statistics."""
     orders = load_table(spark, sf_dir, "orders")
-    ranked = orders.select(
-        F.col("o_totalprice").cast("double").alias("x"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-        .alias("rnk"),
-    ).filter(F.col("rnk") <= _K + 1)
+    # r9-opt (guide §2.4): ranked feeds the threshold probe and the
+    # log-excess pass; unstaged, the orders scan + global top-(K+1)
+    # window re-ran per consumer (2 duplicate scans).  ≤K+1-row
+    # staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    ranked = _stage(
+        orders.select(
+            F.col("o_totalprice").cast("double").alias("x"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+            .alias("rnk"),
+        ).filter(F.col("rnk") <= _K + 1)
+    )
     xk1 = ranked.filter(F.col("rnk") == _K + 1).select(
         F.col("x").alias("xk")
     )

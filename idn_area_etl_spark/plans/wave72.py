@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -44,9 +45,14 @@ def q_attach_rate_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    totals = orders.select(
-        "o_orderkey",
-        F.col("o_totalprice").cast("decimal(27,2)").alias("amt"),
+    # r9-opt (guide §2.4): totals feeds the grand total and the focus
+    # join; unstaged, the orders scan re-ran per consumer (2
+    # duplicate scans).
+    totals = _stage(
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(27,2)").alias("amt"),
+        )
     )
     grand = totals.agg(
         F.count("*").alias("n_orders"),
@@ -133,11 +139,17 @@ def a_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = flagged.groupBy("c_nationkey").agg(
         F.count("*").alias("n"), F.sum("y").alias("k")
     )
-    rates = cells.select(
-        "c_nationkey",
-        "n",
-        "k",
-        (F.col("k").cast("double") / F.col("n")).alias("r"),
+    # r9-opt (guide §2.4): rates feeds both the prior fit and the
+    # final shrinkage select; unstaged, the whole orders⋈customer
+    # rollup re-ran per consumer (2 duplicate scans).  25-row staged
+    # frame — values unchanged.
+    rates = _stage(
+        cells.select(
+            "c_nationkey",
+            "n",
+            "k",
+            (F.col("k").cast("double") / F.col("n")).alias("r"),
+        )
     )
     prior = rates.agg(
         F.count("*").alias("g"),

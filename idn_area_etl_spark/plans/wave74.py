@@ -95,12 +95,19 @@ def a_dow_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y")
     ).select("day", F.dayofweek("day").alias("dow"), "y")
-    per_dow = daily.groupBy("dow").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("y").cast("decimal(27,6)")).alias("s"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)")).alias(
-            "ss"
-        ),
+    # r9-opt (guide §2.4): per_dow feeds the grand totals and the
+    # within-group pass; unstaged, the events rollup re-ran per
+    # consumer (2 duplicate scans).  7-row staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    per_dow = _stage(
+        daily.groupBy("dow").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("y").cast("decimal(27,6)")).alias("s"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)")).alias(
+                "ss"
+            ),
+        )
     )
     tot = per_dow.agg(
         F.sum("n").alias("N"),

@@ -27,6 +27,7 @@ from idn_area_etl_spark.operators.similarity import (
     dot_expr,
     norm_expr,
 )
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -45,12 +46,17 @@ def a_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("x"),
         F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("yv"),
     )
-    base = cust.join(
-        per_cust, cust.c_custkey == per_cust.o_custkey
-    ).select(
-        "c_mktsegment",
-        F.col("x").cast("double").alias("x"),
-        F.col("yv").cast("double").alias("y"),
+    # r9-opt (guide §2.4): base feeds the pooled and per-segment
+    # moment passes; unstaged, the orders rollup + customer join
+    # re-ran per consumer (2 duplicate scans).
+    base = _stage(
+        cust.join(
+            per_cust, cust.c_custkey == per_cust.o_custkey
+        ).select(
+            "c_mktsegment",
+            F.col("x").cast("double").alias("x"),
+            F.col("yv").cast("double").alias("y"),
+        )
     )
 
     def moments(df, keys):
@@ -157,9 +163,15 @@ def e_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation reproduces the rank-1/rank-2 tie-breaks exactly.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", norm_expr(F.col("vec")))
+    # r9-opt (guide §2.4): v feeds the probe side and the corpus side
+    # of BOTH linear passes; unstaged, the scan + norm re-ran per
+    # consumer (3 duplicate scans).  The probe×corpus stream itself
+    # stays unmaterialized by design (see docstring).
+    v = _stage(
+        emb.select(
+            "vec_id", as_double_vec(F.col("embedding")).alias("vec")
+        ).withColumn("nrm", norm_expr(F.col("vec")))
+    )
     q = v.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("qid"),
         F.col("vec").alias("qv"),

@@ -171,10 +171,17 @@ FROM wide
 def q_revenue_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative January event value vs the linear month target."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.dayofmonth(F.to_date("ts")).alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(27,6)")).alias("rev")
+    # r9-opt (guide §2.4): daily feeds the month total and the
+    # cumulative pass; unstaged, the events scan + rollup re-ran per
+    # consumer (2 duplicate scans).  ≤31-row staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    daily = _stage(
+        ev.groupBy(
+            F.dayofmonth(F.to_date("ts")).alias("d")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("rev")
+        )
     )
     tot = daily.agg(F.sum("rev").alias("month_total"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)

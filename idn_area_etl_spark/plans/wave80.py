@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idn_area_etl_spark.operators.text import lang_scores
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -37,12 +38,17 @@ from idn_area_etl_spark.sources.tables import load_table
 def a_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durbin-Watson on residuals of the linear daily-revenue trend."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("y")
+    # r9-opt (guide §2.4): daily feeds the OLS moments and the
+    # residual pass; unstaged, the events rollup re-ran per consumer
+    # (2 duplicate scans).  Day-cardinality staged frame.
+    daily = _stage(
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("y")
+        )
     )
     m = daily.agg(
         F.count("*").alias("n"),
@@ -152,8 +158,6 @@ def a_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe broadcast + NLJ stay bounded by the literal vec_id < 200
     # filter — asserted on the probe_label_nn subtree by
     # tests/test_plan_quality.py::test_probe_label_nn_subtree_shape.
-    from idn_area_etl_spark.operators.dedup import _stage
-
     nn = _stage(probe_label_nn(emb))
     tp = nn.groupBy("truth").agg(
         F.sum((F.col("pred") == F.col("truth")).cast("long")).alias(

@@ -309,8 +309,15 @@ def q_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
         F.lit(100),
     )
-    hist = orders.select(cents.alias("cents")).groupBy("cents").agg(
-        F.count("*").alias("n")
+    # r9-opt (guide §2.4): the 100-row histogram feeds totals, chi²
+    # and top-3; unstaged, the orders scan re-ran per consumer (2
+    # duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    hist = _stage(
+        orders.select(cents.alias("cents")).groupBy("cents").agg(
+            F.count("*").alias("n")
+        )
     )
     tot = hist.agg(
         F.sum("n").alias("ntot"), F.count("*").alias("k")

@@ -68,10 +68,19 @@ def s_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shared regex-scan shingler; >=8-token filter keeps its
     # whole-text fallback from ever firing
-    sh = base.filter(F.size("ws") >= 8).select(
-        "doc_id",
-        "is_test",
-        F.explode(token_shingles_expr(F.col("text"), 8)).alias("s"),
+    # r9-opt (guide §2.4): sh feeds the test-shingle vocabulary and
+    # the train contamination probe; unstaged, the corpus scan +
+    # shingle explode re-ran per consumer.  The train accounting leg
+    # keeps its own column-pruned (doc_id, lang) scan — staging raw
+    # text to merge it would materialize the whole corpus.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    sh = _stage(
+        base.filter(F.size("ws") >= 8).select(
+            "doc_id",
+            "is_test",
+            F.explode(token_shingles_expr(F.col("text"), 8)).alias("s"),
+        )
     )
     test_shingles = sh.filter(F.col("is_test")).select("s").distinct()
     contaminated = (

@@ -29,6 +29,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.operators.ranks import grouped_running_multi
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
@@ -65,11 +66,16 @@ def q_vintage_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vintage"),
         "spend",
     )
-    per_v = vintage.groupBy("vintage").agg(
-        F.count("*").alias("n_customers"),
-        (
-            F.sum("spend") / F.count("*")
-        ).cast("double").alias("mean_spend"),
+    # r9-opt (guide §2.4): per_v feeds the trend-moments pass and the
+    # final select; unstaged, the orders rollup re-ran per consumer
+    # (2 duplicate scans).  Vintage-cardinality staged frame.
+    per_v = _stage(
+        vintage.groupBy("vintage").agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum("spend") / F.count("*")
+            ).cast("double").alias("mean_spend"),
+        )
     )
     m = per_v.agg(
         F.count("*").alias("k"),
@@ -228,12 +234,17 @@ def s_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample en docs to match the zh length histogram (10 x
     100-char buckets, capped at bucket 9)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucketed = docs.filter(F.col("lang").isin("en", "zh")).select(
-        "doc_id",
-        "lang",
-        F.least(F.lit(9), F.floor(F.length("text") / 100).cast("int")).alias(
-            "bucket"
-        ),
+    # r9-opt (guide §2.4): bucketed feeds the quota histogram and the
+    # ranked-membership pass; unstaged, the documents scan re-ran per
+    # consumer (2 duplicate scans).
+    bucketed = _stage(
+        docs.filter(F.col("lang").isin("en", "zh")).select(
+            "doc_id",
+            "lang",
+            F.least(
+                F.lit(9), F.floor(F.length("text") / 100).cast("int")
+            ).alias("bucket"),
+        )
     )
     quota = (
         bucketed.groupBy("bucket")

@@ -36,19 +36,30 @@ def a_xbar_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily mean value vs 3-sigma control limits; out-of-control
     days."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("n"),
-        (
-            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-            / F.count("*")
-        ).alias("xbar"),
+    # r9-opt (guide §2.3/§2.4): ONE staged daily rollup carries the
+    # value and squared-value sums, so the global 3-sigma limits roll
+    # up from the day cells (decimal sums are associative →
+    # bit-identical N/S/SS) instead of re-scanning events.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    cells = _stage(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(38,10)")
+            ).alias("ss"),
+        )
     )
-    glob = ev.agg(
-        F.count("*").alias("N"),
-        F.sum(F.col("value").cast("decimal(27,6)")).alias("S"),
-        F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(38,10)")
-        ).alias("SS"),
+    daily = cells.select(
+        "day",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("xbar"),
+    )
+    glob = cells.agg(
+        F.sum("n").alias("N"),
+        F.sum("s").alias("S"),
+        F.sum("ss").alias("SS"),
     ).select(
         (F.col("S").cast("double") / F.col("N")).alias("mu"),
         F.sqrt(

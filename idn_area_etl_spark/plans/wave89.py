@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.plans.wave32 import _score_expr, _score_sql
 from idn_area_etl_spark.sources.tables import load_table
@@ -37,9 +38,14 @@ from idn_area_etl_spark.sources.tables import load_table
 def a_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MCC of the median-split scorer vs label parity."""
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = emb.select(
-        _score_expr(F.col("embedding")).alias("score"),
-        (F.col("label") % 2 == 1).cast("int").alias("y"),
+    # r9-opt (guide §2.4): scored feeds the median probe and the
+    # confusion cells; unstaged, the embeddings scan + scorer re-ran
+    # per consumer (2 duplicate scans).
+    scored = _stage(
+        emb.select(
+            _score_expr(F.col("embedding")).alias("score"),
+            (F.col("label") % 2 == 1).cast("int").alias("y"),
+        )
     )
     med = scored.agg(
         F.expr(
@@ -135,24 +141,36 @@ def q_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("q"),
         F.col("l_discount").cast("double").alias("x"),
     )
-    per_band = base.groupBy("band").agg(
-        F.count("*").alias("n_lines"),
+    # r9-opt (guide §2.3/§2.4): ONE staged per-band rollup carries the
+    # OLS moment sums, so the global moments roll up from the band
+    # cells (decimal sums are associative → bit-identical) instead of
+    # a second lineitem scan.
+    cells = _stage(
+        base.groupBy("band").agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("q").cast("decimal(27,2)")).alias("syb"),
+            F.sum(F.col("x").cast("decimal(27,8)")).alias("sxb"),
+            F.sum(
+                (F.col("x") * F.col("x")).cast("decimal(38,12)")
+            ).alias("sxxb"),
+            F.sum(
+                (F.col("x") * F.col("q")).cast("decimal(38,8)")
+            ).alias("sxyb"),
+        )
+    )
+    per_band = cells.select(
+        "band",
+        "n_lines",
         F.round(
-            F.sum(F.col("q").cast("decimal(27,2)")).cast("double")
-            / F.count("*"),
-            6,
+            F.col("syb").cast("double") / F.col("n_lines"), 6
         ).alias("mean_qty"),
     )
-    m = base.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("x").cast("decimal(27,8)")).alias("sx"),
-        F.sum(F.col("q").cast("decimal(27,2)")).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias(
-            "sxx"
-        ),
-        F.sum((F.col("x") * F.col("q")).cast("decimal(38,8)")).alias(
-            "sxy"
-        ),
+    m = cells.agg(
+        F.sum("n_lines").alias("n"),
+        F.sum("sxb").alias("sx"),
+        F.sum("syb").alias("sy"),
+        F.sum("sxxb").alias("sxx"),
+        F.sum("sxyb").alias("sxy"),
     ).select(
         "n",
         F.col("sx").cast("double").alias("sx"),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -39,7 +40,10 @@ def s_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replication plan balancing embedding labels to the majority
     count."""
     emb = load_table(spark, sf_dir, "embeddings")
-    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    # r9-opt (guide §2.4): counts feeds the max probe and the plan;
+    # unstaged, the scan + rollup re-ran per consumer (2 duplicate
+    # scans).  Label-cardinality staged frame.
+    counts = _stage(emb.groupBy("label").agg(F.count("*").alias("n")))
     mx = counts.agg(F.max("n").alias("mx"))
     plan = counts.crossJoin(F.broadcast(mx)).select(
         "label",
@@ -103,7 +107,10 @@ def a_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 2
     )
-    armed = per_user.select(arm.alias("g"), "tv")
+    # r9-opt (guide §2.4): armed feeds the per-arm median probe and
+    # the deviation pass; unstaged, the events rollup re-ran per
+    # consumer (2 duplicate scans).
+    armed = _stage(per_user.select(arm.alias("g"), "tv"))
     med = armed.groupBy("g").agg(
         F.expr(
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY tv)"

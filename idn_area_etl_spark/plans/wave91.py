@@ -98,12 +98,19 @@ ORDER BY part
 def a_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung-Box Q over the first 5 ACF lags of daily revenue."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("y")
+    # r9-opt (guide §2.4): daily feeds the mean probe and the
+    # centered/lagged series; unstaged, the events rollup re-ran per
+    # consumer (2 duplicate scans).  Day-cardinality staged frame.
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    daily = _stage(
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("y")
+        )
     )
     mu_df = daily.agg(
         F.count("*").alias("n"),
@@ -256,22 +263,31 @@ def d_test_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_test",
         F.explode(token_shingles_expr(F.col("text"), 2)).alias("g"),
     )
-    test_g = grams.filter(F.col("is_test")).select("lang", "g").distinct()
-    train_g = (
-        grams.filter(~F.col("is_test")).select("lang", "g").distinct()
+    # r9-opt (guide §2.3/§2.4): ONE (lang, gram) rollup carrying
+    # test/train membership flags replaces the two distinct passes +
+    # semi-join + left join — the corpus is scanned and shingled once
+    # and a single gram-keyed exchange remains.  Row-for-row equal to
+    # the old shape: a distinct test gram is a rollup row with
+    # in_test, a covered one additionally has in_train, and languages
+    # with zero test grams (absent from the old t side) are filtered
+    # out; coalesce(n_covered, 0) = a sum over zero matching rows.
+    gf = grams.groupBy("lang", "g").agg(
+        F.max(F.col("is_test").cast("int")).alias("in_test"),
+        F.max((~F.col("is_test")).cast("int")).alias("in_train"),
     )
-    covered = test_g.join(train_g, ["lang", "g"], "left_semi")
-    t = test_g.groupBy("lang").agg(F.count("*").alias("n_test_grams"))
-    c = covered.groupBy("lang").agg(F.count("*").alias("n_covered"))
     return (
-        t.join(c, "lang", "left")
+        gf.groupBy("lang")
+        .agg(
+            F.sum("in_test").alias("n_test_grams"),
+            F.sum(F.col("in_test") * F.col("in_train")).alias("n_covered"),
+        )
+        .filter(F.col("n_test_grams") > 0)
         .select(
             "lang",
             "n_test_grams",
-            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            "n_covered",
             F.round(
-                F.coalesce("n_covered", F.lit(0)).cast("double")
-                / F.col("n_test_grams"),
+                F.col("n_covered").cast("double") / F.col("n_test_grams"),
                 6,
             ).alias("coverage"),
         )

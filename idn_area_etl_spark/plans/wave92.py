@@ -37,12 +37,19 @@ def a_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("date")
     pre = ev.filter(F.to_date("ts") < cut)
-    per_user = pre.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(20,6)"))
-        .cast("double")
-        .alias("pre_value"),
-        F.count("*").cast("double").alias("n_events"),
-        F.countDistinct(F.to_date("ts")).cast("double").alias("n_days"),
+    # r9-opt (guide §2.4): the three-covariate long-form union reads
+    # per_user three times; unstaged, the events scan + per-user
+    # rollup re-ran per leg (2 duplicate scans).
+    from idn_area_etl_spark.operators.dedup import _stage
+
+    per_user = _stage(
+        pre.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("pre_value"),
+            F.count("*").cast("double").alias("n_events"),
+            F.countDistinct(F.to_date("ts")).cast("double").alias("n_days"),
+        )
     )
     arm = (
         F.conv(

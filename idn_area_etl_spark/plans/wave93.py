@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from idn_area_etl_spark.operators.dedup import _stage
 from idn_area_etl_spark.plans.registry import QuerySpec
 from idn_area_etl_spark.sources.tables import load_table
 
@@ -38,11 +39,16 @@ def q_second_order_conversion(
     w = Window.partitionBy("o_custkey").orderBy(
         "o_orderdate", "o_orderkey"
     )
-    ranked = orders.select(
-        "o_custkey",
-        F.to_date("o_orderdate").alias("d"),
-        F.row_number().over(w).alias("rn"),
-    ).filter(F.col("rn") <= 2)
+    # r9-opt (guide §2.4): ranked feeds the first- and second-order
+    # legs; unstaged, the orders scan + per-customer window re-ran
+    # per consumer (2 duplicate scans).
+    ranked = _stage(
+        orders.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 2)
+    )
     first = ranked.filter(F.col("rn") == 1).select(
         "o_custkey", F.col("d").alias("d1")
     )
@@ -121,10 +127,15 @@ def a_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mood's median 2x2 chi-square (continuity-corrected) of user
     value above/below the global median across md5 arms."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("tv")
+    # r9-opt (guide §2.4): per_user feeds the median probe and the
+    # 2x2 cell count; unstaged, the events rollup re-ran per consumer
+    # (2 duplicate scans).
+    per_user = _stage(
+        ev.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("tv")
+        )
     )
     med = per_user.agg(
         F.expr(

@@ -103,6 +103,42 @@ def test_countmin_never_underestimates(spark, sf_dir):
         assert r.est_count >= r.exact_count
 
 
+def test_countmin_rollup_matches_brute_force(spark):
+    """r9 internals change: sketch cells, the distinct key-cell probe
+    and the exact count all derive from ONE (key, h, bucket) rollup.
+    Pin both outputs against Python brute force: exact_count is the
+    true multiplicity, and est_count equals the minimum over the d
+    per-row sketch cells computed independently."""
+    from collections import Counter
+
+    from idn_area_etl_spark.operators.sketch import md5_bucket
+
+    d, w = 3, 16
+    df = spark.range(2000).select((F.col("id") % 97).alias("k"))
+    out = {
+        r.k: (r.est_count, r.exact_count)
+        for r in count_min_topk(df, "k", d=d, w=w, top_k=97).collect()
+    }
+    truth = Counter(r.k for r in df.collect())
+    # independent sketch: bucket each key with the same md5 scheme
+    buckets = {
+        r.k: [r[f"b{h}"] for h in range(d)]
+        for r in df.select(
+            "k",
+            *[md5_bucket(F.col("k"), f"cms{h}:", w).alias(f"b{h}") for h in range(d)],
+        )
+        .distinct()
+        .collect()
+    }
+    cells = Counter()
+    for k, n in truth.items():
+        for h, b in enumerate(buckets[k]):
+            cells[(h, b)] += n
+    for k, n in truth.items():
+        est = min(cells[(h, b)] for h, b in enumerate(buckets[k]))
+        assert out[k] == (est, n)
+
+
 def test_countmin_collisions_overestimate(spark):
     """1000 keys into w=8 buckets must collide: some est > exact, and
     the error is bounded by the total count."""
