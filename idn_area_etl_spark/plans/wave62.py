@@ -47,13 +47,11 @@ _BRACKETS = ((0, 100), (100_000, 250), (200_000, 400))
 def a_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HT estimate of total order value from a PPS md5 sample
     (expected sample size ~ 500), vs the checkable truth."""
-    # r9-opt (guide §2.4): the 2-column projection feeds the grand
-    # total and the per-order inclusion pass; unstaged, the orders
-    # scan re-ran per consumer (2 duplicate scans).
-    orders = _stage(
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_totalprice"
-        )
+    # r9: measured and deliberately NOT staged — both consumers read
+    # the same 2-column pruned scan; staging benched 1.15× slower at
+    # sf0.1 (0.41 → 0.47 s) and is storage-neutral at cluster scale.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
     )
     tot = orders.agg(
         F.sum(F.col("o_totalprice").cast("decimal(27,2)"))

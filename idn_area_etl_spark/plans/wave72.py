@@ -45,14 +45,13 @@ def q_attach_rate_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    # r9-opt (guide §2.4): totals feeds the grand total and the focus
-    # join; unstaged, the orders scan re-ran per consumer (2
-    # duplicate scans).
-    totals = _stage(
-        orders.select(
-            "o_orderkey",
-            F.col("o_totalprice").cast("decimal(27,2)").alias("amt"),
-        )
+    # r9: measured and deliberately NOT staged — both consumers read
+    # the same 2-column pruned scan; staging the projection benched
+    # 1.24× slower at sf0.1 (0.44 → 0.54 s) and a materialized copy
+    # writes as many bytes as the duplicate scan reads at scale.
+    totals = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(27,2)").alias("amt"),
     )
     grand = totals.agg(
         F.count("*").alias("n_orders"),

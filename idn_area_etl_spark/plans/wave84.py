@@ -234,17 +234,17 @@ def s_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample en docs to match the zh length histogram (10 x
     100-char buckets, capped at bucket 9)."""
     docs = load_table(spark, sf_dir, "documents")
-    # r9-opt (guide §2.4): bucketed feeds the quota histogram and the
-    # ranked-membership pass; unstaged, the documents scan re-ran per
-    # consumer (2 duplicate scans).
-    bucketed = _stage(
-        docs.filter(F.col("lang").isin("en", "zh")).select(
-            "doc_id",
-            "lang",
-            F.least(
-                F.lit(9), F.floor(F.length("text") / 100).cast("int")
-            ).alias("bucket"),
-        )
+    # r9: measured and deliberately NOT staged — bucketed's two
+    # consumers each read a narrow pushdown projection, and staging
+    # the doc-scale frame to merge them benched 2.3× SLOWER at sf0.1
+    # (0.65 → 1.51 s solo best-of-3) while writing as many bytes as
+    # the duplicate scan reads at cluster scale (storage-neutral).
+    bucketed = docs.filter(F.col("lang").isin("en", "zh")).select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(9), F.floor(F.length("text") / 100).cast("int")).alias(
+            "bucket"
+        ),
     )
     quota = (
         bucketed.groupBy("bucket")

@@ -443,14 +443,21 @@ def test_association_rules_broadcast_item_counts(spark, specs):
     assert "CartesianProduct" not in plan
 
 
-def test_quality_report_ri_checks_are_anti_joins(spark, specs):
-    """Referential-integrity checks must plan as anti joins (never a
-    NOT IN nested loop over data rows).  The 1-row scalar aggregates
-    cross-combine via broadcast nested loop — that's 1-row × 1-row,
-    allowed."""
+def test_quality_report_ri_checks_are_hash_joins(spark, specs):
+    """Referential-integrity checks must plan as equi hash joins
+    (never a NOT IN nested loop over data rows).  r9: the RI counts
+    are FOLDED into each table's single check pass as LeftOuter
+    joins against the referenced unique key + null-indicator sums —
+    equivalent to the old standalone LeftAnti counts (the key is
+    unique, so row multiplicity is preserved) with the duplicate
+    table scans deleted.  The 1-row scalar aggregates cross-combine
+    via broadcast nested loop — that's 1-row × 1-row, allowed."""
     plan = plan_of(specs["q_data_quality_report"].builder(spark, SF_DIR))
-    assert "LeftAnti" in plan
+    assert plan.count("LeftOuter") >= 2
     assert "CartesianProduct" not in plan
+    # both tables scanned once: the checks and the RI indicator share
+    # one pass each
+    assert plan.count("Scan parquet") <= 4
 
 
 def test_pq_rerank_joins_stay_equi(spark, specs):
